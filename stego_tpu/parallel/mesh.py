@@ -1,0 +1,58 @@
+"""Device mesh + sharding layer: the framework's "communication backend".
+
+The reference's distribution story is Lightning DDP over NCCL
+(train_segmentation.py:476) plus torchmetrics dist-sync (utils.py:209-217).
+Here the same semantics fall out of sharded ``jit`` over a named mesh:
+
+* a 1-D ``data`` axis carries the batch; parameters are replicated;
+* gradient all-reduce, metric confusion-matrix reduction, and the batch-wide
+  negative-sampling gathers are XLA collectives over ICI inserted by the
+  partitioner — no hand-written backend;
+* the KNN index build all-gathers per-device feature shards (see
+  stego_tpu/train/knn.py).
+
+The same code runs single-chip (mesh of 1) and on a virtual 8-device CPU mesh
+in the test suite.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over local devices (0 = all)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a pytree of host arrays with the batch dim sharded over the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def host_split(n: int, mesh: Mesh) -> int:
+    """Per-device batch size; validates divisibility early with a clear error."""
+    d = mesh.devices.size
+    if n % d != 0:
+        raise ValueError(f"global batch {n} not divisible by mesh size {d}")
+    return n // d

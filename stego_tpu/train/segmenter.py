@@ -1,0 +1,368 @@
+"""Training runtime: model assembly + jitted train/val steps.
+
+Behavioral reference: LitUnsupervisedSegmenter (src/train_segmentation.py:53-383).
+TPU-native design:
+
+* ONE jitted train step holds the whole update: frozen-backbone forward for the
+  (img, img_pos) pair **batched into a single ViT call**, the contrastive
+  correlation loss, probe losses on stop_gradient'ed code, and three Adam
+  updates (net 5e-4, linear/cluster probes 5e-3, mirroring
+  train_segmentation.py:379-381). XLA fuses the lot; there is no
+  Python-side optimizer choreography per step.
+* Sharded over a 1-D ``data`` mesh: batch split over ICI, params replicated,
+  gradient/metric reductions are XLA collectives (replaces Lightning DDP).
+* Validation accumulates confusion matrices on device (implicit psum) and only
+  the Hungarian assignment runs on host (utils/metrics.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stego_tpu.config import Config
+from stego_tpu.models.featurizer import DinoFeaturizer, dropout2d
+from stego_tpu.models.probes import (
+    cluster_lookup,
+    decoder_apply,
+    init_cluster_probe,
+    init_decoder,
+    init_linear_probe,
+    linear_probe_logits,
+)
+from stego_tpu.models.vit import VIT_CONFIGS, ViTConfig
+from stego_tpu.ops.correlation import CorrLossCfg, contrastive_correlation_loss
+from stego_tpu.ops.crf_loss import CRFLossCfg, contrastive_crf_loss
+from stego_tpu.ops.interp import interpolate
+from stego_tpu.ops.math import l2_normalize, one_hot_feats
+from stego_tpu.ops.sampling import sample_from_coords
+from stego_tpu.utils.metrics import update_conf_matrix
+
+Params = Dict[str, Any]
+
+
+def masked_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray, n_classes: int
+) -> jnp.ndarray:
+    """Pixel CE over ``0 <= label < n_classes`` (reference
+    train_segmentation.py:210-218)."""
+    mask = (labels >= 0) & (labels < n_classes)
+    safe = jnp.clip(labels, 0, n_classes - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, nll, 0.0)) / denom
+
+
+class UnsupervisedSegmenter:
+    """Static model assembly (no parameters held)."""
+
+    def __init__(self, n_classes: int, cfg: Config,
+                 vit_cfg: Optional[ViTConfig] = None):
+        self.cfg = cfg
+        self.n_classes = n_classes
+        self.dim = cfg.dim if cfg.continuous else n_classes
+        if vit_cfg is None:
+            vit_cfg = VIT_CONFIGS[cfg.model_type][cfg.dino_patch_size]
+        self.vit_cfg = vit_cfg
+        backbone_dtype = (
+            jnp.bfloat16 if cfg.backbone_dtype == "bfloat16" else jnp.float32
+        )
+        self.net = DinoFeaturizer(
+            vit_cfg,
+            dim=self.dim,
+            feat_type=cfg.dino_feat_type,
+            projection_type=cfg.projection_type,
+            use_dropout=cfg.dropout,
+            backbone_dtype=backbone_dtype,
+        )
+        self.corr_cfg = CorrLossCfg.from_config(cfg)
+        self.crf_cfg = CRFLossCfg(
+            n_samples=cfg.crf_samples, alpha=cfg.alpha, beta=cfg.beta,
+            gamma=cfg.gamma, w1=cfg.w1, w2=cfg.w2, shift=cfg.shift,
+        )
+
+    # ------------------------------------------------------------------
+    def init_params(self, key: jax.Array) -> Params:
+        """Trainable params (reference train_segmentation.py:69-78)."""
+        ks = jax.random.split(key, 5)
+        return {
+            "head": self.net.init_head(ks[0]),
+            "linear_probe": init_linear_probe(ks[1], self.dim, self.n_classes),
+            "cluster_probe": init_cluster_probe(
+                ks[2], self.dim, self.n_classes + self.cfg.extra_clusters
+            ),
+            "train_cluster_probe": init_cluster_probe(ks[3], self.dim,
+                                                      self.n_classes),
+            "decoder": init_decoder(ks[4], self.dim, self.net.n_feats),
+        }
+
+    def make_optimizers(self) -> Dict[str, optax.GradientTransformation]:
+        """Adam trio (reference configure_optimizers,
+        train_segmentation.py:373-383)."""
+        return {
+            "net": optax.adam(self.cfg.lr),
+            "linear": optax.adam(5e-3),
+            "cluster": optax.adam(5e-3),
+        }
+
+    def init_state(self, key: jax.Array) -> Dict[str, Any]:
+        params = self.init_params(key)
+        opts = self.make_optimizers()
+        return {
+            "params": params,
+            "opt": {
+                "net": opts["net"].init(self._net_group(params)),
+                "linear": opts["linear"].init(params["linear_probe"]),
+                "cluster": opts["cluster"].init(params["cluster_probe"]),
+            },
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def _net_group(self, params: Params) -> Params:
+        """Params owned by the net optimizer: head (+ decoder when the
+        reconstruction loss is on; train_segmentation.py:374-377)."""
+        g = {"head": params["head"]}
+        if self.cfg.rec_weight > 0:
+            g["decoder"] = params["decoder"]
+        return g
+
+    def reset_probes(self, key: jax.Array, state: Dict[str, Any]) -> Dict[str, Any]:
+        """reset_probe_steps parity (train_segmentation.py:232-237): reinit
+        probes and give them fresh optimizers."""
+        k1, k2 = jax.random.split(key)
+        params = dict(state["params"])
+        params["linear_probe"] = init_linear_probe(k1, self.dim, self.n_classes)
+        params["cluster_probe"] = init_cluster_probe(
+            k2, self.dim, self.n_classes + self.cfg.extra_clusters
+        )
+        opts = self.make_optimizers()
+        opt = dict(state["opt"])
+        opt["linear"] = opts["linear"].init(params["linear_probe"])
+        opt["cluster"] = opts["cluster"].init(params["cluster_probe"])
+        return {**state, "params": params, "opt": opt}
+
+
+def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
+                      salience, salience_pos):
+    out = contrastive_correlation_loss(
+        seg.corr_cfg, key, signal, signal_pos, code, code_pos,
+        salience, salience_pos,
+    )
+    corr_loss = (
+        cfg.pos_inter_weight * out["pos_inter_loss"]
+        + cfg.pos_intra_weight * out["pos_intra_loss"]
+        + cfg.neg_inter_weight * jnp.mean(out["neg_inter_loss"])
+    ) * cfg.correspondence_weight
+    metrics = {
+        "loss/pos_intra": out["pos_intra_loss"],
+        "loss/pos_inter": out["pos_inter_loss"],
+        "loss/neg_inter": jnp.mean(out["neg_inter_loss"]),
+        "cd/pos_intra": jnp.mean(out["pos_intra_cd"]),
+        "cd/pos_inter": jnp.mean(out["pos_inter_cd"]),
+        "cd/neg_inter": jnp.mean(out["neg_inter_cd"]),
+    }
+    return corr_loss, metrics
+
+
+def make_train_step(seg: UnsupervisedSegmenter):
+    """Build the jittable train step.
+
+    Step signature: (backbone_params, state, batch, key) -> (state, metrics).
+    ``batch`` is a dict of NHWC arrays: img, label [, img_pos, label_pos, mask,
+    mask_pos, img_aug, coord_aug].
+    """
+    cfg = seg.cfg
+    opts = seg.make_optimizers()
+    use_pos = cfg.correspondence_weight > 0
+
+    def train_step(backbone: Params, state: Dict[str, Any], batch: Dict[str, Any],
+                   key: jax.Array):
+        img = batch["img"]
+        label = batch["label"]
+        k_head1, k_head2, k_feat1, k_feat2, k_corr, k_crf, k_head3 = (
+            jax.random.split(key, 7)
+        )
+
+        # Frozen backbone forward — img and img_pos in ONE batched ViT call.
+        if use_pos:
+            both = jnp.concatenate([img, batch["img_pos"]], axis=0)
+            feat_both = seg.net.backbone_features(backbone, both)
+            image_feat, image_feat_pos = jnp.split(feat_both, 2, axis=0)
+        else:
+            image_feat = seg.net.backbone_features(backbone, img)
+            image_feat_pos = None
+        if cfg.aug_alignment_weight > 0:
+            image_feat_aug = seg.net.backbone_features(backbone, batch["img_aug"])
+        else:
+            image_feat_aug = None
+
+        def loss_fn(trainable: Params):
+            metrics: Dict[str, jnp.ndarray] = {}
+            code = seg.net.head_code(trainable["head"], image_feat, train=True,
+                                     rng=k_head1)
+            feats = (
+                dropout2d(image_feat, seg.net.dropout_p, k_feat1)
+                if cfg.dropout else image_feat
+            )
+            loss = jnp.zeros((), jnp.float32)
+
+            if use_pos:
+                code_pos = seg.net.head_code(trainable["head"], image_feat_pos,
+                                             train=True, rng=k_head2)
+                feats_pos = (
+                    dropout2d(image_feat_pos, seg.net.dropout_p, k_feat2)
+                    if cfg.dropout else image_feat_pos
+                )
+                if cfg.use_true_labels:
+                    signal = one_hot_feats(label + 1, seg.n_classes + 1)
+                    signal_pos = one_hot_feats(batch["label_pos"] + 1,
+                                               seg.n_classes + 1)
+                else:
+                    signal, signal_pos = feats, feats_pos
+                salience = batch.get("mask") if cfg.use_salience else None
+                salience_pos = batch.get("mask_pos") if cfg.use_salience else None
+                corr_loss, corr_metrics = _corr_pair_losses(
+                    seg, cfg, k_corr, signal, signal_pos, code, code_pos,
+                    salience, salience_pos,
+                )
+                loss = loss + corr_loss
+                metrics.update(corr_metrics)
+
+            if cfg.rec_weight > 0:
+                rec_feats = decoder_apply(trainable["decoder"], code)
+                rec_loss = -jnp.mean(jnp.sum(
+                    l2_normalize(rec_feats) * l2_normalize(feats), axis=-1
+                ))
+                loss = loss + cfg.rec_weight * rec_loss
+                metrics["loss/rec"] = rec_loss
+
+            if cfg.aug_alignment_weight > 0:
+                code_aug = seg.net.head_code(trainable["head"], image_feat_aug,
+                                             train=True, rng=k_head3)
+                hw = code_aug.shape[1:3]
+                coord_small = interpolate(batch["coord_aug"], hw, "bilinear",
+                                          align_corners=False)
+                # reference sample() quirk: the dataset stores (y, x) coords and
+                # sample() transposes the grid — the two swaps cancel on square
+                # inputs (train_segmentation.py:189-198, data.py:530-532).
+                resampled = sample_from_coords(code, coord_small)
+                aug_alignment = -jnp.mean(jnp.sum(
+                    l2_normalize(resampled) * l2_normalize(code_aug), axis=-1
+                ))
+                loss = loss + cfg.aug_alignment_weight * aug_alignment
+                metrics["loss/aug_alignment"] = aug_alignment
+
+            if cfg.crf_weight > 0:
+                crf = jnp.mean(contrastive_crf_loss(
+                    seg.crf_cfg, k_crf,
+                    interpolate(img, 56, "bilinear", align_corners=False),
+                    l2_normalize(
+                        interpolate(code, 56, "bilinear", align_corners=False)
+                    ),
+                ))
+                loss = loss + cfg.crf_weight * crf
+                metrics["loss/crf"] = crf
+
+            detached_code = jax.lax.stop_gradient(code)
+
+            linear_logits = linear_probe_logits(trainable["linear_probe"],
+                                                detached_code)
+            linear_logits = interpolate(linear_logits, label.shape[1:3],
+                                        "bilinear", align_corners=False)
+            linear_loss = masked_cross_entropy(linear_logits, label, seg.n_classes)
+            loss = loss + linear_loss
+            metrics["loss/linear"] = linear_loss
+
+            cluster_loss, _ = cluster_lookup(trainable["cluster_probe"],
+                                             detached_code, alpha=None)
+            loss = loss + cluster_loss
+            metrics["loss/cluster"] = cluster_loss
+            metrics["loss/total"] = loss
+            return loss, metrics
+
+        params = state["params"]
+        trainable = {
+            "head": params["head"],
+            "linear_probe": params["linear_probe"],
+            "cluster_probe": params["cluster_probe"],
+            "decoder": params["decoder"],
+        }
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(trainable)
+
+        net_group = {"head": params["head"]}
+        net_grads = {"head": grads["head"]}
+        if cfg.rec_weight > 0:
+            net_group["decoder"] = params["decoder"]
+            net_grads["decoder"] = grads["decoder"]
+        net_up, net_opt = opts["net"].update(net_grads, state["opt"]["net"],
+                                             net_group)
+        net_new = optax.apply_updates(net_group, net_up)
+
+        lin_up, lin_opt = opts["linear"].update(
+            grads["linear_probe"], state["opt"]["linear"], params["linear_probe"]
+        )
+        lin_new = optax.apply_updates(params["linear_probe"], lin_up)
+
+        clu_up, clu_opt = opts["cluster"].update(
+            grads["cluster_probe"], state["opt"]["cluster"],
+            params["cluster_probe"]
+        )
+        clu_new = optax.apply_updates(params["cluster_probe"], clu_up)
+
+        new_params = dict(params)
+        new_params["head"] = net_new["head"]
+        if cfg.rec_weight > 0:
+            new_params["decoder"] = net_new["decoder"]
+        new_params["linear_probe"] = lin_new
+        new_params["cluster_probe"] = clu_new
+
+        new_state = {
+            "params": new_params,
+            "opt": {"net": net_opt, "linear": lin_opt, "cluster": clu_opt},
+            "step": state["step"] + 1,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_val_step(seg: UnsupervisedSegmenter):
+    """Validation step (reference validation_step,
+    train_segmentation.py:254-269): code upsampled to label resolution, probe
+    argmax predictions, device-side confusion matrices."""
+    nc = seg.n_classes
+    extra = seg.cfg.extra_clusters
+
+    def val_step(backbone: Params, params: Params, batch: Dict[str, Any]):
+        img = batch["img"]
+        label = batch["label"]
+        _, code = seg.net.apply(backbone, params["head"], img, train=False)
+        code = interpolate(code, label.shape[1:3], "bilinear",
+                           align_corners=False)
+
+        linear_preds = jnp.argmax(
+            linear_probe_logits(params["linear_probe"], code), axis=-1
+        )
+        _, cluster_probs = cluster_lookup(params["cluster_probe"], code,
+                                          alpha=None)
+        cluster_preds = jnp.argmax(cluster_probs, axis=-1)
+
+        conf_linear = update_conf_matrix(
+            jnp.zeros((nc, nc), jnp.int32), linear_preds, label, nc, 0
+        )
+        conf_cluster = update_conf_matrix(
+            jnp.zeros((nc + extra, nc), jnp.int32), cluster_preds, label, nc,
+            extra,
+        )
+        return {
+            "conf_linear": conf_linear,
+            "conf_cluster": conf_cluster,
+            "linear_preds": linear_preds,
+            "cluster_preds": cluster_preds,
+        }
+
+    return val_step

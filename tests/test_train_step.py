@@ -1,0 +1,158 @@
+"""End-to-end train-step tests on a tiny model, incl. the 8-virtual-device
+sharded run vs single-device parity (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from stego_tpu.config import Config
+from stego_tpu.models.vit import ViTConfig, init_vit_params
+from stego_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from stego_tpu.train.segmenter import (
+    UnsupervisedSegmenter,
+    make_train_step,
+    make_val_step,
+    masked_cross_entropy,
+)
+
+TINY_VIT = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4, img_size=16)
+
+
+def tiny_setup(**overrides):
+    cfg = Config(
+        dataset_name="directory", dir_dataset_name="synthetic", res=16,
+        dim=6, feature_samples=4, neg_samples=2, batch_size=8,
+        backbone_dtype="float32", crop_type=None, **overrides,
+    )
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=TINY_VIT)
+    backbone = init_vit_params(jr.PRNGKey(0), TINY_VIT)
+    state = seg.init_state(jr.PRNGKey(1))
+    return cfg, seg, backbone, state
+
+
+def synthetic_batch(key, b=8, res=16, n_classes=3):
+    k1, k2, k3 = jr.split(key, 3)
+    img = jr.normal(k1, (b, res, res, 3))
+    label = jr.randint(k2, (b, res, res), -1, n_classes)
+    img_pos = img + 0.05 * jr.normal(k3, (b, res, res, 3))
+    return {
+        "img": img, "label": label,
+        "img_pos": img_pos, "label_pos": label,
+        "mask": (label > 0).astype(jnp.float32),
+        "mask_pos": (label > 0).astype(jnp.float32),
+    }
+
+
+def test_train_step_runs_and_loss_decreases():
+    cfg, seg, backbone, state = tiny_setup()
+    step = jax.jit(make_train_step(seg))
+    batch = synthetic_batch(jr.PRNGKey(2))
+    losses = []
+    for i in range(30):
+        state, metrics = step(backbone, state, batch, jr.PRNGKey(100 + i))
+        losses.append(float(metrics["loss/total"]))
+    assert int(state["step"]) == 30
+    assert np.isfinite(losses).all()
+    # training on a fixed batch must reduce the loss substantially
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_train_step_sharded_matches_single_device(cpu_devices):
+    cfg, seg, backbone, state = tiny_setup()
+    batch = synthetic_batch(jr.PRNGKey(2))
+    key = jr.PRNGKey(3)
+
+    train_step = make_train_step(seg)
+    # single device
+    s1, m1 = jax.jit(train_step)(backbone, state, batch, key)
+
+    # 8-device data mesh
+    mesh = make_mesh()
+    bs = batch_sharding(mesh)
+    rs = replicated_sharding(mesh)
+    sharded_batch = jax.tree.map(lambda a: jax.device_put(a, bs), batch)
+    sharded_state = jax.tree.map(lambda a: jax.device_put(a, rs), state)
+    sharded_backbone = jax.tree.map(lambda a: jax.device_put(a, rs), backbone)
+    s8, m8 = jax.jit(train_step)(sharded_backbone, sharded_state, sharded_batch,
+                                 key)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+    g1 = np.asarray(s1["params"]["head"]["cluster1"]["kernel"])
+    g8 = np.asarray(s8["params"]["head"]["cluster1"]["kernel"])
+    np.testing.assert_allclose(g1, g8, rtol=1e-4, atol=1e-5)
+
+
+def test_val_step_confusion_matrices():
+    cfg, seg, backbone, state = tiny_setup()
+    val_step = jax.jit(make_val_step(seg))
+    batch = synthetic_batch(jr.PRNGKey(4))
+    out = val_step(backbone, state["params"], batch)
+    assert out["conf_linear"].shape == (3, 3)
+    assert out["conf_cluster"].shape == (3, 3)
+    n_valid = int((np.asarray(batch["label"]) >= 0).sum())
+    assert int(np.asarray(out["conf_linear"]).sum()) == n_valid
+
+
+def test_optional_losses_enabled():
+    cfg, seg, backbone, state = tiny_setup(
+        rec_weight=0.5, crf_weight=0.1, aug_alignment_weight=0.1, crf_samples=16,
+    )
+    step = jax.jit(make_train_step(seg))
+    batch = synthetic_batch(jr.PRNGKey(5))
+    coord = jnp.stack(
+        jnp.meshgrid(jnp.linspace(-1, 1, 16), jnp.linspace(-1, 1, 16),
+                     indexing="ij"),
+        axis=-1,
+    )
+    batch["img_aug"] = batch["img"]
+    batch["coord_aug"] = jnp.broadcast_to(coord[None], (8, 16, 16, 2))
+    state, metrics = step(backbone, state, batch, jr.PRNGKey(6))
+    for k in ("loss/rec", "loss/crf", "loss/aug_alignment"):
+        assert np.isfinite(float(metrics[k])), k
+    # identity aug alignment: resampled code == code_aug up to dropout noise,
+    # so alignment cosine should be strongly positive (loss negative)
+    assert float(metrics["loss/aug_alignment"]) < 0
+
+
+def test_use_true_labels_signal():
+    cfg, seg, backbone, state = tiny_setup(use_true_labels=True)
+    step = jax.jit(make_train_step(seg))
+    batch = synthetic_batch(jr.PRNGKey(7))
+    state, metrics = step(backbone, state, batch, jr.PRNGKey(8))
+    assert np.isfinite(float(metrics["loss/total"]))
+
+
+def test_reset_probes():
+    cfg, seg, backbone, state = tiny_setup()
+    step = jax.jit(make_train_step(seg))
+    batch = synthetic_batch(jr.PRNGKey(9))
+    state, _ = step(backbone, state, batch, jr.PRNGKey(10))
+    before = np.asarray(state["params"]["linear_probe"]["kernel"]).copy()
+    state2 = seg.reset_probes(jr.PRNGKey(11), state)
+    after = np.asarray(state2["params"]["linear_probe"]["kernel"])
+    assert not np.allclose(before, after)
+    # head untouched
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["head"]["cluster1"]["kernel"]),
+        np.asarray(state2["params"]["head"]["cluster1"]["kernel"]),
+    )
+
+
+def test_masked_cross_entropy_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 5, 5, 4), dtype=np.float32)
+    labels = rng.integers(-1, 4, (2, 5, 5))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).permute(0, 3, 1, 2),
+        torch.from_numpy(labels),
+        ignore_index=-1,
+    ).item()
+    got = float(masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 4))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
