@@ -1,0 +1,90 @@
+"""Orbax checkpointing with top-k-by-mIoU retention.
+
+Reference behavior: Lightning ModelCheckpoint(every_n_train_steps=400,
+save_top_k=2, monitor="test/cluster/mIoU", mode="max")
+(train_segmentation.py:487-493), with the config embedded in the checkpoint via
+save_hyperparameters (:106) so eval can reconstruct the model without a config
+file (eval_segmentation.py:67). Here: orbax CheckpointManager with a best_fn on
+cluster mIoU; the config is stored as JSON metadata alongside each step, and the
+frozen backbone is saved once per run (it never trains).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+from stego_tpu.config import Config
+
+METRIC_KEY = "test/cluster/mIoU"
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, cfg: Config, save_top_k: int = 2):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.cfg = cfg
+        with open(os.path.join(self.directory, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max(1, save_top_k),
+            best_fn=lambda metrics: metrics.get(METRIC_KEY, float("-inf")),
+            best_mode="max",
+            enable_async_checkpointing=False,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        self._backbone_saved = os.path.exists(
+            os.path.join(self.directory, "backbone")
+        )
+
+    def save_backbone(self, backbone_params) -> None:
+        """The frozen backbone is saved once, outside the managed steps."""
+        if self._backbone_saved:
+            return
+        path = os.path.join(self.directory, "backbone")
+        ocp.StandardCheckpointer().save(path, backbone_params)
+        self._backbone_saved = True
+
+    def save(self, step: int, state: Dict[str, Any],
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None,
+                template: Optional[Dict[str, Any]] = None) -> Tuple[int, Any]:
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        if template is not None:
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        else:
+            state = self._mgr.restore(step)
+        return step, state
+
+    def restore_backbone(self, template=None):
+        path = os.path.join(self.directory, "backbone")
+        return ocp.StandardCheckpointer().restore(path, template)
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def all_steps(self):
+        return self._mgr.all_steps()
+
+    def close(self):
+        self._mgr.close()
+
+
+def load_config(directory: str) -> Config:
+    with open(os.path.join(os.path.abspath(directory), "config.json")) as f:
+        return Config.from_dict(json.load(f))
