@@ -129,6 +129,12 @@ class Config:
     save_top_k: int = 2
     # profiling trace dir ("" = disabled)
     profile_dir: str = ""
+    # validation resolution (reference hard-codes 320, train_segmentation.py:446)
+    val_res: int = 320
+    # 0 = use batch_size (reference uses 16 under AML else batch_size, :455-458)
+    val_batch_size: int = 0
+    # neighbors stored in the KNN cache (reference precompute_knns.py topk(30))
+    knn_k: int = 30
 
     def __post_init__(self):
         if self.arch not in ("dino", "feature-pyramid"):

@@ -1,0 +1,268 @@
+"""Training application: the ``train_segmentation`` entry point.
+
+Behavioral reference: the Hydra main + Lightning Trainer wiring in
+src/train_segmentation.py:386-497, collapsed into one explicit loop:
+step-based training with periodic sharded validation (Hungarian metrics on
+host), top-k checkpointing by cluster mIoU, and JSONL/TB scalar logging.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from os.path import join
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stego_tpu.config import Config
+from stego_tpu.data.contrastive import ContrastiveSegDataset
+from stego_tpu.data.loader import DataLoader, infinite_batches
+from stego_tpu.data.transforms import get_transform
+from stego_tpu.models.vit import ViTConfig, init_vit_params
+from stego_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from stego_tpu.train.checkpoint import CheckpointManager
+from stego_tpu.train.segmenter import (
+    UnsupervisedSegmenter,
+    make_train_step,
+    make_val_step,
+)
+from stego_tpu.utils.logging import MetricLogger
+from stego_tpu.utils.metrics import UnsupervisedMetrics
+
+TRAIN_BATCH_KEYS = ("img", "label", "img_pos", "label_pos", "mask", "mask_pos",
+                    "img_aug", "coord_aug")
+
+
+def get_class_labels(dataset_name: str):
+    """Human-readable class names (reference train_segmentation.py:20-50)."""
+    if dataset_name.startswith("cityscapes"):
+        return [
+            "road", "sidewalk", "parking", "rail track", "building", "wall",
+            "fence", "guard rail", "bridge", "tunnel", "pole", "polegroup",
+            "traffic light", "traffic sign", "vegetation", "terrain", "sky",
+            "person", "rider", "car", "truck", "bus", "caravan", "trailer",
+            "train", "motorcycle", "bicycle",
+        ]
+    if dataset_name == "cocostuff27":
+        return [
+            "electronic", "appliance", "food", "furniture", "indoor",
+            "kitchen", "accessory", "animal", "outdoor", "person", "sports",
+            "vehicle", "ceiling", "floor", "food", "furniture", "rawmaterial",
+            "textile", "wall", "window", "building", "ground", "plant", "sky",
+            "solid", "structural", "water",
+        ]
+    if dataset_name == "voc":
+        return [
+            "background", "aeroplane", "bicycle", "bird", "boat", "bottle",
+            "bus", "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+            "motorbike", "person", "pottedplant", "sheep", "sofa", "train",
+            "tvmonitor",
+        ]
+    if dataset_name == "potsdam":
+        return ["roads and cars", "buildings and clutter",
+                "trees and vegetation"]
+    raise ValueError(f"Unknown Dataset {dataset_name}")
+
+
+def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array):
+    """DINO weights from disk when provided; random init otherwise (offline
+    environments). Reference downloads from the URL table
+    (modules.py:35-62)."""
+    if cfg.pretrained_weights:
+        from stego_tpu.models.convert import load_dino_backbone
+
+        params, _ = load_dino_backbone(
+            cfg.pretrained_weights, cfg.model_type, cfg.dino_patch_size
+        )
+        return jax.tree.map(jnp.asarray, params)
+    print(
+        "WARNING: no pretrained_weights given — using a randomly initialized "
+        "backbone (reference behavior is to download DINO weights; provide "
+        "pretrained_weights=<path to .pth> for parity)."
+    )
+    return init_vit_params(key, vit_cfg)
+
+
+def make_datasets(cfg: Config):
+    need_aug = cfg.aug_alignment_weight > 0
+    train_dataset = ContrastiveSegDataset(
+        pytorch_data_dir=cfg.pytorch_data_dir,
+        dataset_name=cfg.dataset_name,
+        crop_type=cfg.crop_type,
+        image_set="train",
+        transform=get_transform(cfg.res, False, cfg.loader_crop_type),
+        target_transform=get_transform(cfg.res, True, cfg.loader_crop_type),
+        cfg=cfg,
+        aug_geometric=need_aug,
+        aug_photometric=need_aug,
+        num_neighbors=cfg.num_neighbors,
+        mask=True,
+        pos_images=cfg.correspondence_weight > 0,
+        pos_labels=cfg.correspondence_weight > 0,
+        seed=cfg.seed,
+    )
+    val_loader_crop = None if cfg.dataset_name == "voc" else "center"
+    val_dataset = ContrastiveSegDataset(
+        pytorch_data_dir=cfg.pytorch_data_dir,
+        dataset_name=cfg.dataset_name,
+        crop_type=None,
+        image_set="val",
+        transform=get_transform(cfg.val_res, False, val_loader_crop),
+        target_transform=get_transform(cfg.val_res, True, val_loader_crop),
+        mask=True,
+        cfg=cfg,
+        seed=cfg.seed,
+    )
+    return train_dataset, val_dataset
+
+
+def _device_batch(batch: Dict[str, Any], sharding) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for k in TRAIN_BATCH_KEYS:
+        if k in batch:
+            out[k] = jax.device_put(jnp.asarray(batch[k]), sharding)
+    return out
+
+
+def _pad_batch(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
+    """Pad a short final batch to ``size`` with ignore-labeled copies."""
+    n = len(batch["img"])
+    if n == size:
+        return batch
+    pad = size - n
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        reps = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        if k.startswith("label"):
+            reps[n:] = -1  # padded pixels are ignored by the conf matrix
+        out[k] = reps
+    return out
+
+
+def run_validation(seg, val_step, backbone, params, val_loader, mesh,
+                   batch_size: int) -> Dict[str, float]:
+    """Sharded validation epoch: device-side confusion matrices, host-side
+    Hungarian (reference validation_step/epoch_end,
+    train_segmentation.py:254-283)."""
+    bs = batch_sharding(mesh)
+    linear_metrics = UnsupervisedMetrics("test/linear/", seg.n_classes, 0, False)
+    cluster_metrics = UnsupervisedMetrics(
+        "test/cluster/", seg.n_classes, seg.cfg.extra_clusters, True
+    )
+    for batch in val_loader:
+        batch = _pad_batch(batch, batch_size)
+        dev = {
+            "img": jax.device_put(jnp.asarray(batch["img"]), bs),
+            "label": jax.device_put(jnp.asarray(batch["label"]), bs),
+        }
+        out = val_step(backbone, params, dev)
+        linear_metrics.merge_stats(np.asarray(out["conf_linear"]))
+        cluster_metrics.merge_stats(np.asarray(out["conf_cluster"]))
+    return {**linear_metrics.compute(), **cluster_metrics.compute()}
+
+
+def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
+          train_dataset=None, val_dataset=None) -> Dict[str, float]:
+    """Run training to cfg.max_steps; returns the final validation metrics.
+
+    ``vit_cfg``/datasets are injectable for tests; production callers pass
+    only ``cfg``.
+    """
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    log_dir = join(cfg.output_root, "logs",
+                   f"{cfg.dataset_name}_{cfg.experiment_name}")
+    ckpt_dir = join(cfg.output_root, "checkpoints",
+                    f"{cfg.dataset_name}_{cfg.experiment_name}")
+    logger = MetricLogger(log_dir)
+
+    if train_dataset is None or val_dataset is None:
+        train_dataset, val_dataset = make_datasets(cfg)
+
+    n_classes = train_dataset.n_classes
+    seg = UnsupervisedSegmenter(n_classes, cfg, vit_cfg=vit_cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_backbone, k_state, k_steps = jax.random.split(key, 3)
+    backbone = build_backbone(cfg, seg.vit_cfg, k_backbone)
+    state = seg.init_state(k_state)
+
+    mesh = make_mesh(cfg.num_devices)
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    backbone = jax.device_put(backbone, rs)
+    state = jax.device_put(state, rs)
+
+    train_step = jax.jit(make_train_step(seg), donate_argnums=(1,))
+    val_step = jax.jit(make_val_step(seg))
+
+    val_bs = cfg.val_batch_size or cfg.batch_size
+    train_loader = DataLoader(train_dataset, cfg.batch_size, shuffle=True,
+                              seed=cfg.seed)
+    val_loader = DataLoader(val_dataset, val_bs, shuffle=False,
+                            drop_last=False)
+
+    mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k)
+    mgr.save_backbone(backbone)
+
+    metrics_out: Dict[str, float] = {}
+    batches: Iterator = infinite_batches(train_loader)
+    t0 = time.time()
+    imgs_seen = 0
+    for step_idx in range(cfg.max_steps):
+        batch = next(batches)
+        dev_batch = _device_batch(batch, bs)
+        state, metrics = train_step(
+            backbone, state, dev_batch,
+            jax.random.fold_in(k_steps, step_idx),
+        )
+        imgs_seen += cfg.batch_size
+
+        if cfg.reset_probe_steps is not None and \
+                step_idx + 1 == cfg.reset_probe_steps:
+            print("RESETTING PROBES")
+            state = seg.reset_probes(
+                jax.random.fold_in(k_steps, -1), state
+            )
+            state = jax.device_put(state, rs)
+
+        if (step_idx + 1) % cfg.scalar_log_freq == 0:
+            host = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            host["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
+            logger.log_scalars(step_idx + 1, host)
+
+        if (step_idx + 1) % cfg.val_freq == 0 or step_idx + 1 == cfg.max_steps:
+            metrics_out = run_validation(
+                seg, val_step, backbone, state["params"], val_loader, mesh,
+                val_bs,
+            )
+            logger.log_scalars(step_idx + 1, metrics_out)
+            print(f"step {step_idx + 1}: " + ", ".join(
+                f"{k}={v:.2f}" for k, v in metrics_out.items()))
+
+        if (step_idx + 1) % cfg.checkpoint_freq == 0 or \
+                step_idx + 1 == cfg.max_steps:
+            mgr.save(step_idx + 1, jax.device_get(state), metrics=metrics_out)
+
+    logger.close()
+    mgr.close()
+    return metrics_out
+
+
+def main(argv=None):
+    from stego_tpu.config import prep_args
+
+    overrides = prep_args(argv)
+    base = overrides.pop("config", None)
+    cfg = (Config.from_yaml(base, **overrides) if base
+           else Config.from_dict(overrides, strict=True))
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

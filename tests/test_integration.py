@@ -1,0 +1,85 @@
+"""Minimum end-to-end slice (SURVEY.md §7): synthetic directory dataset ->
+precompute_knns -> train N steps with validation -> metrics + checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from stego_tpu.config import Config
+from stego_tpu.models.vit import ViTConfig
+from stego_tpu.train.app import train
+from stego_tpu.train.knn_app import precompute_knns
+
+TINY_VIT = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                     img_size=16)
+
+
+@pytest.fixture
+def data_root(tmp_path):
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    for split, count in {"train": 16, "val": 8}.items():
+        (root / "synth" / "imgs" / split).mkdir(parents=True)
+        (root / "synth" / "labels" / split).mkdir(parents=True)
+        for i in range(count):
+            # structured images so KNN and probes have signal
+            base = np.zeros((32, 32, 3), np.uint8)
+            cls = i % 3
+            base[:, :, cls] = 200
+            base += rng.integers(0, 55, (32, 32, 3), dtype=np.uint8)
+            lbl = np.full((32, 32), cls, dtype=np.uint8)
+            lbl[:4, :4] = 255  # some ignore pixels (mapped via labels as-is)
+            Image.fromarray(base).save(
+                root / "synth" / "imgs" / split / f"{i:03d}.png")
+            Image.fromarray(lbl).save(
+                root / "synth" / "labels" / split / f"{i:03d}.png")
+    return str(root)
+
+
+def make_cfg(data_root, tmp_path, **kw):
+    defaults = dict(
+        output_root=str(tmp_path / "out"),
+        pytorch_data_dir=data_root,
+        dataset_name="directory",
+        dir_dataset_name="synth",
+        dir_dataset_n_classes=3,
+        res=16, val_res=16, dino_patch_size=4,
+        dim=6, feature_samples=4, neg_samples=2,
+        batch_size=8, val_batch_size=8,
+        max_steps=6, val_freq=3, checkpoint_freq=3, scalar_log_freq=2,
+        num_neighbors=4, backbone_dtype="float32",
+        crop_type=None, loader_crop_type="center",
+        model_type="vit_small",  # only names the KNN cache; vit_cfg overrides
+    )
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def test_end_to_end_knn_train_val(data_root, tmp_path):
+    cfg = make_cfg(data_root, tmp_path)
+
+    written = precompute_knns(
+        cfg, dataset_names=["directory"], crop_types=[None],
+        vit_cfg=TINY_VIT, res=16, batch_size=8,
+    )
+    assert len(written) == 2  # train + val caches
+    nns = np.load(written[0])["nns"]
+    assert nns.shape[0] == 8  # val first
+    # self-similarity puts index 0 as own neighbor
+    assert (nns[:, 0] == np.arange(nns.shape[0])).mean() > 0.7
+
+    metrics = train(cfg, vit_cfg=TINY_VIT)
+    assert "test/cluster/mIoU" in metrics
+    assert "test/linear/Accuracy" in metrics
+    for v in metrics.values():
+        assert np.isfinite(v)
+
+    ckpt_dir = os.path.join(cfg.output_root, "checkpoints",
+                            "directory_exp1")
+    assert os.path.exists(os.path.join(ckpt_dir, "config.json"))
+    assert os.path.exists(os.path.join(ckpt_dir, "backbone"))
+    log_file = os.path.join(cfg.output_root, "logs", "directory_exp1",
+                            "metrics.jsonl")
+    assert os.path.getsize(log_file) > 0
