@@ -1,0 +1,231 @@
+"""Checkpoint evaluation: flip-TTA, probes, on-device CRF, Hungarian metrics.
+
+Behavioral reference: src/eval_segmentation.py. Differences by design:
+the dense CRF runs batched on device (ops/crf.py) instead of a host
+multiprocessing pool, and checkpoints load from either this framework's orbax
+directories or the reference's released Lightning ``.ckpt`` files (via
+models/convert.py) for parity evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stego_tpu.config import Config
+from stego_tpu.data.colormaps import colormap_for_dataset
+from stego_tpu.data.contrastive import ContrastiveSegDataset
+from stego_tpu.data.loader import DataLoader
+from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, get_transform
+from stego_tpu.models.probes import cluster_lookup, linear_probe_logits
+from stego_tpu.models.vit import ViTConfig
+from stego_tpu.ops.crf import dense_crf
+from stego_tpu.ops.interp import interpolate
+from stego_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from stego_tpu.train.app import _pad_batch, get_class_labels
+from stego_tpu.train.segmenter import UnsupervisedSegmenter
+from stego_tpu.utils.metrics import UnsupervisedMetrics
+from stego_tpu.utils.viz import (
+    save_comparison_grid,
+    save_confusion_matrix,
+    save_prediction_images,
+)
+
+
+def load_model_for_eval(
+    model_path: str, vit_cfg: Optional[ViTConfig] = None
+) -> Tuple[UnsupervisedSegmenter, Dict, Dict]:
+    """Load (segmenter, backbone, params) from either a reference Lightning
+    ``.ckpt`` (converted) or one of our orbax checkpoint directories."""
+    if model_path.endswith(".ckpt"):
+        from stego_tpu.models.convert import load_stego_checkpoint
+
+        loaded = load_stego_checkpoint(model_path, vit_cfg=vit_cfg)
+        cfg = Config.from_dict(loaded["cfg_dict"])
+        n_classes = _n_classes_for(cfg)
+        seg = UnsupervisedSegmenter(n_classes, cfg, vit_cfg=loaded["vit_cfg"])
+        backbone = jax.tree.map(jnp.asarray, loaded["backbone"])
+        params = {
+            "head": jax.tree.map(jnp.asarray, loaded["head"]),
+            "linear_probe": jax.tree.map(jnp.asarray, loaded["linear_probe"]),
+            "cluster_probe": jax.tree.map(jnp.asarray, loaded["cluster_probe"]),
+        }
+        return seg, backbone, params
+
+    from stego_tpu.train.checkpoint import CheckpointManager, load_config
+
+    cfg = load_config(model_path)
+    n_classes = _n_classes_for(cfg)
+    seg = UnsupervisedSegmenter(n_classes, cfg, vit_cfg=vit_cfg)
+    mgr = CheckpointManager(model_path, cfg, save_top_k=cfg.save_top_k)
+    template = seg.init_state(jax.random.PRNGKey(0))
+    step = mgr.best_step() or mgr._mgr.latest_step()
+    _, state = mgr.restore(step=step, template=template)
+    backbone = mgr.restore_backbone()
+    mgr.close()
+    # host-localize so callers control device placement (restored arrays can
+    # carry whatever sharding they were saved under)
+    backbone = jax.tree.map(np.asarray, jax.device_get(backbone))
+    params = jax.tree.map(np.asarray, jax.device_get(state["params"]))
+    return seg, backbone, params
+
+
+def _n_classes_for(cfg: Config) -> int:
+    from stego_tpu.data.contrastive import dataset_dispatch
+
+    return dataset_dispatch(cfg.dataset_name, cfg.crop_type, cfg)["n_classes"]
+
+
+def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool):
+    """jitted eval step: flip-TTA code (reference eval_segmentation.py:124-126),
+    probe log-probs, optional on-device CRF, argmax predictions."""
+
+    def eval_step(backbone, params, img, label):
+        _, code1 = seg.net.apply(backbone, params["head"], img, train=False)
+        _, code2 = seg.net.apply(backbone, params["head"], img[:, :, ::-1],
+                                 train=False)
+        code = (code1 + code2[:, :, ::-1]) / 2.0
+        code = interpolate(code, label.shape[1:3], "bilinear",
+                           align_corners=False)
+
+        linear_probs = jax.nn.log_softmax(
+            linear_probe_logits(params["linear_probe"], code), axis=-1
+        )
+        cluster_probs = cluster_lookup(params["cluster_probe"], code,
+                                       alpha=2.0, log_probs=True)
+
+        if run_crf:
+            img01 = jnp.clip(
+                img * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN),
+                0.0, 1.0,
+            )
+            linear_preds = jnp.argmax(dense_crf(img01, linear_probs), axis=-1)
+            cluster_preds = jnp.argmax(dense_crf(img01, cluster_probs), axis=-1)
+        else:
+            linear_preds = jnp.argmax(linear_probs, axis=-1)
+            cluster_preds = jnp.argmax(cluster_probs, axis=-1)
+        return linear_preds, cluster_preds
+
+    return eval_step
+
+
+def evaluate(
+    eval_cfg: Config,
+    model_path: str,
+    vit_cfg: Optional[ViTConfig] = None,
+    val_dataset=None,
+    save_outputs: bool = True,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Evaluate one checkpoint; returns final/ metrics
+    (reference my_app loop, eval_segmentation.py:57-214)."""
+    seg, backbone, params = load_model_for_eval(model_path, vit_cfg=vit_cfg)
+    model_cfg = seg.cfg
+
+    if val_dataset is None:
+        val_dataset = ContrastiveSegDataset(
+            pytorch_data_dir=eval_cfg.pytorch_data_dir,
+            dataset_name=model_cfg.dataset_name,
+            crop_type=None,
+            image_set="val",
+            transform=get_transform(eval_cfg.res, False, "center"),
+            target_transform=get_transform(eval_cfg.res, True, "center"),
+            cfg=model_cfg,
+        )
+
+    mesh = make_mesh(eval_cfg.num_devices)
+    bs_shard = batch_sharding(mesh)
+    rs = replicated_sharding(mesh)
+    backbone = jax.device_put(backbone, rs)
+    params = jax.device_put(params, rs)
+
+    batch_size = eval_cfg.batch_size * 2  # reference eval loader batching (:88)
+    d = mesh.devices.size
+    batch_size = max(d, (batch_size // d) * d)
+    loader = DataLoader(val_dataset, batch_size, shuffle=False, drop_last=False)
+
+    eval_step = jax.jit(make_eval_step(seg, eval_cfg.run_crf))
+
+    linear_metrics = UnsupervisedMetrics("final/linear/", seg.n_classes, 0,
+                                         False)
+    cluster_metrics = UnsupervisedMetrics(
+        "final/cluster/", seg.n_classes, model_cfg.extra_clusters, True
+    )
+
+    saved: Dict[str, list] = {"img": [], "label": [], "cluster": [],
+                              "linear": []}
+    n_keep = eval_cfg.n_images
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        batch = _pad_batch(batch, batch_size)
+        img = jax.device_put(jnp.asarray(batch["img"]), bs_shard)
+        label = jax.device_put(jnp.asarray(batch["label"]), bs_shard)
+        linear_preds, cluster_preds = eval_step(backbone, params, img, label)
+        linear_metrics.update(np.asarray(linear_preds), np.asarray(label))
+        cluster_metrics.update(np.asarray(cluster_preds), np.asarray(label))
+        if len(saved["img"]) < n_keep:
+            take = min(n_keep - len(saved["img"]), len(batch["img"]))
+            saved["img"].extend(np.asarray(batch["img"][:take]))
+            saved["label"].extend(np.asarray(batch["label"][:take]))
+            saved["cluster"].extend(np.asarray(cluster_preds[:take]))
+            saved["linear"].extend(np.asarray(linear_preds[:take]))
+
+    metrics = {**linear_metrics.compute(), **cluster_metrics.compute()}
+    print(model_path)
+    print(metrics)
+
+    if save_outputs and saved["img"]:
+        result_dir = join("results", "predictions", eval_cfg.experiment_name)
+        os.makedirs(result_dir, exist_ok=True)
+        cmap = colormap_for_dataset(model_cfg.dataset_name)
+        imgs = np.stack(saved["img"])
+        labels = np.stack(saved["label"])
+        clusters = cluster_metrics.map_clusters(np.stack(saved["cluster"]))
+        linears = np.stack(saved["linear"])
+        save_prediction_images(result_dir, imgs, labels, clusters, linears,
+                               cmap)
+        save_comparison_grid(
+            join(result_dir, "comparison.png"),
+            {"Image": imgs, "Label": labels, "STEGO\n(Ours)": clusters},
+            cmap, dark_mode=eval_cfg.dark_mode,
+        )
+        try:
+            names = get_class_labels(model_cfg.dataset_name)
+        except ValueError:
+            names = [str(i) for i in range(seg.n_classes)]
+        if model_cfg.extra_clusters:
+            names = names + ["Extra"]
+        save_confusion_matrix(
+            join(result_dir, "conf_matrix.png"),
+            cluster_metrics.histogram, names, dark_mode=eval_cfg.dark_mode,
+        )
+    return metrics
+
+
+def main(argv=None):
+    from stego_tpu.config import prep_args
+
+    overrides = prep_args(argv)
+    base = overrides.pop("config", None)
+    model_paths = overrides.pop("model_paths", None)
+    model_path = overrides.pop("model_path", None)
+    cfg = (Config.from_yaml(base, **overrides) if base
+           else Config.from_dict(overrides, strict=True))
+    paths = cfg.model_paths or ([model_path] if model_path else [])
+    if model_paths:
+        paths = model_paths.split(",") if isinstance(model_paths, str) \
+            else model_paths
+    if not paths:
+        raise SystemExit("pass model_path=<ckpt dir or .ckpt file>")
+    for p in paths:
+        evaluate(cfg, p)
+
+
+if __name__ == "__main__":
+    main()

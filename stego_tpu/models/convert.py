@@ -148,7 +148,25 @@ def head_params_from_torch(sd: Mapping[str, Any], prefix: str = "net.") -> Dict:
     return out
 
 
-def load_stego_checkpoint(path: str) -> Dict[str, Any]:
+def infer_vit_cfg(sd: Mapping[str, Any]) -> ViTConfig:
+    """Infer the ViT geometry from a state dict: patch/embed from the patch
+    conv, depth from block count, heads from the standard head_dim=64 rule
+    (vit_small 384->6, vit_base 768->12 — matches vision_transformer.py:266-277),
+    trained image size from the positional-embedding token count."""
+    w = _np(sd["patch_embed.proj.weight"])
+    embed_dim, _, patch, _ = w.shape
+    depth = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    )
+    n_tok = _np(sd["pos_embed"]).shape[1]
+    side = int(round((n_tok - 1) ** 0.5))
+    heads = max(1, embed_dim // 64)
+    return ViTConfig(patch_size=patch, embed_dim=embed_dim, depth=depth,
+                     num_heads=heads, img_size=side * patch)
+
+
+def load_stego_checkpoint(path: str,
+                          vit_cfg: Optional[ViTConfig] = None) -> Dict[str, Any]:
     """Load a released STEGO Lightning checkpoint.
 
     Returns a dict with:
@@ -168,12 +186,11 @@ def load_stego_checkpoint(path: str) -> Dict[str, Any]:
     cfg_dict = dict(hp.get("cfg", hp)) if hp else {}
     sd = ckpt["state_dict"]
 
-    model_type = cfg_dict.get("model_type", "vit_base")
-    patch = int(cfg_dict.get("dino_patch_size", 8))
-    vit_cfg = VIT_CONFIGS[model_type][patch]
     backbone_sd = {
         k[len("net.model."):]: v for k, v in sd.items() if k.startswith("net.model.")
     }
+    if vit_cfg is None:
+        vit_cfg = infer_vit_cfg(backbone_sd)
     out: Dict[str, Any] = {
         "cfg_dict": cfg_dict,
         "vit_cfg": vit_cfg,
