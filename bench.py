@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state training throughput on the flagship config.
+
+Measures the full jitted train step (frozen ViT-S/8 forward for img+img_pos in
+one batched call, contrastive correlation loss with 5 negatives, linear +
+cluster probe losses, 3 Adam updates) at the reference's training footprint:
+batch 16, res 224 (reference src/configs/train_config.yml). Synthetic device-
+resident data isolates the compute path (the host input pipeline is measured
+separately in logs as imgs_per_sec during real training).
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We
+anchor vs_baseline to an estimated 120 imgs/sec/A100 for the reference stack
+(PyTorch 1.7 fp32 DDP, 3 ViT-S/8 no-grad forwards + head backward per step of
+16 image pairs) — a generous estimate; re-anchor when a measured number exists.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_A100_IMGS_PER_SEC = 120.0
+BATCH = 16
+RES = 224
+WARMUP = 3
+STEPS = 10
+
+
+def main():
+    from stego_tpu.config import Config
+    from stego_tpu.models.vit import init_vit_params
+    from stego_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+    from stego_tpu.train.segmenter import UnsupervisedSegmenter, make_train_step
+
+    cfg = Config(
+        model_type="vit_small", dino_patch_size=8, res=RES, batch_size=BATCH,
+        dataset_name="cocostuff27", backbone_dtype="bfloat16",
+    )
+    seg = UnsupervisedSegmenter(n_classes=27, cfg=cfg)
+
+    key = jax.random.PRNGKey(0)
+    backbone = init_vit_params(key, seg.vit_cfg)
+    state = seg.init_state(jax.random.fold_in(key, 1))
+
+    mesh = make_mesh()
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+    backbone = jax.device_put(backbone, rsh)
+    state = jax.device_put(state, rsh)
+
+    batch = {
+        "img": jax.device_put(
+            jax.random.normal(jax.random.fold_in(key, 2),
+                              (BATCH, RES, RES, 3), jnp.float32), bsh),
+        "img_pos": jax.device_put(
+            jax.random.normal(jax.random.fold_in(key, 3),
+                              (BATCH, RES, RES, 3), jnp.float32), bsh),
+        "label": jax.device_put(
+            jax.random.randint(jax.random.fold_in(key, 4),
+                               (BATCH, RES, RES), -1, 27), bsh),
+        "label_pos": jax.device_put(
+            jax.random.randint(jax.random.fold_in(key, 5),
+                               (BATCH, RES, RES), -1, 27), bsh),
+    }
+
+    train_step = jax.jit(make_train_step(seg), donate_argnums=(1,))
+
+    # NOTE: on the remote-tunneled TPU platform, block_until_ready does not
+    # reliably block; fetching a scalar with a data dependency on the full
+    # step chain is the trustworthy sync point.
+    def sync(metrics):
+        return float(metrics["loss/total"])
+
+    for i in range(WARMUP):
+        state, metrics = train_step(backbone, state, batch,
+                                    jax.random.fold_in(key, 100 + i))
+    sync(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = train_step(backbone, state, batch,
+                                    jax.random.fold_in(key, 200 + i))
+    sync(metrics)
+    dt = time.perf_counter() - t0
+
+    n_dev = max(1, mesh.devices.size)
+    imgs_per_sec_per_chip = (STEPS * BATCH) / dt / n_dev
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip (ViT-S/8, res224, batch16)",
+        "value": round(imgs_per_sec_per_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_A100_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
