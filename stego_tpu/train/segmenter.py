@@ -148,10 +148,18 @@ class UnsupervisedSegmenter:
 
 def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
                       salience, salience_pos):
-    out = contrastive_correlation_loss(
-        seg.corr_cfg, key, signal, signal_pos, code, code_pos,
-        salience, salience_pos,
-    )
+    if cfg.use_pallas_loss or cfg.full_field_loss:
+        from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
+
+        out = contrastive_correlation_loss_fused(
+            seg.corr_cfg, key, signal, signal_pos, code, code_pos,
+            full_field=cfg.full_field_loss,
+        )
+    else:
+        out = contrastive_correlation_loss(
+            seg.corr_cfg, key, signal, signal_pos, code, code_pos,
+            salience, salience_pos,
+        )
     corr_loss = (
         cfg.pos_inter_weight * out["pos_inter_loss"]
         + cfg.pos_intra_weight * out["pos_intra_loss"]

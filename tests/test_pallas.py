@@ -1,0 +1,175 @@
+"""Fused Pallas correspondence loss vs the einsum oracle (fwd + grad).
+
+Runs in interpreter mode on the CPU test mesh; the same kernel compiles on TPU
+(exercised by bench/e2e scripts on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from stego_tpu.ops.correlation import CorrLossCfg, corr_loss_helper
+from stego_tpu.ops.pallas_corr import fused_correlation_loss
+
+
+def _data(key, b=2, h=5, w=5, cf=12, cc=7):
+    k1, k2, k3, k4 = jr.split(key, 4)
+    return (
+        jr.normal(k1, (b, h, w, cf)),
+        jr.normal(k2, (b, h, w, cf)),
+        jr.normal(k3, (b, h, w, cc)),
+        jr.normal(k4, (b, h, w, cc)),
+    )
+
+
+def oracle(f1, f2, c1, c2, shift, cfg):
+    loss, cd = corr_loss_helper(f1, f2, c1, c2, shift, cfg)
+    return jnp.mean(loss), jnp.mean(cd)
+
+
+@pytest.mark.parametrize("pointwise", [True, False])
+@pytest.mark.parametrize("zero_clamp", [True, False])
+@pytest.mark.parametrize("stabalize", [True, False])
+def test_fused_forward_matches_oracle(pointwise, zero_clamp, stabalize):
+    f1, f2, c1, c2 = _data(jr.PRNGKey(0))
+    cfg = CorrLossCfg(pointwise=pointwise, zero_clamp=zero_clamp,
+                      stabalize=stabalize)
+    shift = 0.17
+    want_loss, want_cd = oracle(f1, f2, c1, c2, shift, cfg)
+    got_loss, got_cd = fused_correlation_loss(
+        f1, f2, c1, c2, shift, pointwise=pointwise, zero_clamp=zero_clamp,
+        stabalize=stabalize, interpret=True,
+    )
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(got_cd), float(want_cd), rtol=2e-5,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("pointwise", [True, False])
+def test_fused_grad_matches_oracle(pointwise):
+    f1, f2, c1, c2 = _data(jr.PRNGKey(1))
+    cfg = CorrLossCfg(pointwise=pointwise)
+    shift = 0.12
+
+    def loss_oracle(c1, c2):
+        return oracle(f1, f2, c1, c2, shift, cfg)[0]
+
+    def loss_fused(c1, c2):
+        return fused_correlation_loss(f1, f2, c1, c2, shift,
+                                      pointwise=pointwise, interpret=True)[0]
+
+    g1_want, g2_want = jax.grad(loss_oracle, argnums=(0, 1))(c1, c2)
+    g1_got, g2_got = jax.grad(loss_fused, argnums=(0, 1))(c1, c2)
+    np.testing.assert_allclose(np.asarray(g1_got), np.asarray(g1_want),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2_got), np.asarray(g2_want),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_fused_grad_does_not_flow_to_features():
+    f1, f2, c1, c2 = _data(jr.PRNGKey(2))
+
+    def loss(f1, f2):
+        return fused_correlation_loss(f1, f2, c1, c2, 0.1, interpret=True)[0]
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(f1, f2)
+    assert float(jnp.abs(g1).sum()) == 0.0
+    assert float(jnp.abs(g2).sum()) == 0.0
+
+
+def test_fused_multi_tile():
+    # spatial size crossing the 128 tile boundary (h*w = 17*9 = 153 -> 2 tiles)
+    f1, f2, c1, c2 = _data(jr.PRNGKey(3), b=1, h=17, w=9, cf=6, cc=5)
+    cfg = CorrLossCfg()
+    want_loss, want_cd = oracle(f1, f2, c1, c2, 0.2, cfg)
+    got_loss, got_cd = fused_correlation_loss(f1, f2, c1, c2, 0.2,
+                                              interpret=True)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(got_cd), float(want_cd), rtol=2e-5,
+                               atol=1e-6)
+
+    def lf(c1):
+        return fused_correlation_loss(f1, f2, c1, c2, 0.2, interpret=True)[0]
+
+    def lo(c1):
+        return oracle(f1, f2, c1, c2, 0.2, cfg)[0]
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(lf)(c1)), np.asarray(jax.grad(lo)(c1)),
+        rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_fused_cd_mean_gradient():
+    """cd_mean output carries its own gradient (used only for logging in the
+    train step, but the VJP must still be exact)."""
+    f1, f2, c1, c2 = _data(jr.PRNGKey(4))
+    cfg = CorrLossCfg()
+
+    def both_fused(c1):
+        loss, cdm = fused_correlation_loss(f1, f2, c1, c2, 0.1, interpret=True)
+        return loss + 3.0 * cdm
+
+    def both_oracle(c1):
+        loss, cdm = oracle(f1, f2, c1, c2, 0.1, cfg)
+        return loss + 3.0 * cdm
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(both_fused)(c1)),
+        np.asarray(jax.grad(both_oracle)(c1)),
+        rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_fused_three_pair_wrapper_matches_einsum_stats():
+    """The fused three-pair wrapper must produce the same pos-pair losses as
+    the einsum path under identical keys (identical coordinate draws)."""
+    from stego_tpu.ops.correlation import contrastive_correlation_loss
+    from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
+
+    cfg = CorrLossCfg(feature_samples=4, neg_samples=2)
+    key = jr.PRNGKey(7)
+    b = 3
+    feats = jr.normal(jr.PRNGKey(1), (b, 6, 6, 10))
+    feats_pos = jr.normal(jr.PRNGKey(2), (b, 6, 6, 10))
+    code = jr.normal(jr.PRNGKey(3), (b, 6, 6, 5))
+    code_pos = jr.normal(jr.PRNGKey(4), (b, 6, 6, 5))
+
+    ref = contrastive_correlation_loss(cfg, key, feats, feats_pos, code,
+                                       code_pos)
+    got = contrastive_correlation_loss_fused(cfg, key, feats, feats_pos, code,
+                                             code_pos, interpret=True)
+    np.testing.assert_allclose(float(got["pos_intra_loss"]),
+                               float(ref["pos_intra_loss"]), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(got["pos_inter_loss"]),
+                               float(ref["pos_inter_loss"]), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(got["neg_inter_loss"]),
+                               float(jnp.mean(ref["neg_inter_loss"])),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(got["pos_intra_cd"]),
+                               float(jnp.mean(ref["pos_intra_cd"])),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_full_field_mode_runs_with_grads():
+    from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
+
+    cfg = CorrLossCfg(neg_samples=2)
+    feats = jr.normal(jr.PRNGKey(1), (2, 7, 7, 10))
+    code = jr.normal(jr.PRNGKey(3), (2, 7, 7, 5))
+
+    def loss(code):
+        out = contrastive_correlation_loss_fused(
+            cfg, jr.PRNGKey(0), feats, feats, code, code, full_field=True,
+            interpret=True)
+        return out["pos_inter_loss"] + out["neg_inter_loss"]
+
+    g = jax.grad(loss)(code)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
