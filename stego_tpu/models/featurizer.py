@@ -95,6 +95,11 @@ class DinoFeaturizer:
     def init_head(self, key: jax.Array) -> Dict:
         return init_featurizer_head(key, self.n_feats, self.dim, self.projection_type)
 
+    def signal(self, image_feat):
+        """The array used as the correlation-loss signal / reconstruction
+        target (identity here; FPN picks its low-res tap)."""
+        return image_feat
+
     def backbone_features(
         self, backbone_params: Dict, img: jnp.ndarray
     ) -> jnp.ndarray:

@@ -68,9 +68,22 @@ def get_class_labels(dataset_name: str):
 
 
 def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array):
-    """DINO weights from disk when provided; random init otherwise (offline
-    environments). Reference downloads from the URL table
-    (modules.py:35-62)."""
+    """Backbone weights from disk when provided; random init otherwise
+    (offline environments). Reference downloads from URL tables
+    (modules.py:35-62, utils.py:69-125)."""
+    if cfg.arch == "feature-pyramid":
+        from stego_tpu.models.resnet import (
+            init_resnet50_params,
+            load_resnet_backbone,
+        )
+
+        if cfg.pretrained_weights:
+            return jax.tree.map(
+                jnp.asarray,
+                load_resnet_backbone(cfg.model_type, cfg.pretrained_weights),
+            )
+        print("WARNING: no pretrained_weights — random ResNet-50 backbone.")
+        return init_resnet50_params(key)
     if cfg.pretrained_weights:
         from stego_tpu.models.convert import load_dino_backbone
 

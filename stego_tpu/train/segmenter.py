@@ -65,20 +65,30 @@ class UnsupervisedSegmenter:
         self.cfg = cfg
         self.n_classes = n_classes
         self.dim = cfg.dim if cfg.continuous else n_classes
-        if vit_cfg is None:
+        if vit_cfg is None and cfg.arch == "dino":
             vit_cfg = VIT_CONFIGS[cfg.model_type][cfg.dino_patch_size]
         self.vit_cfg = vit_cfg
         backbone_dtype = (
             jnp.bfloat16 if cfg.backbone_dtype == "bfloat16" else jnp.float32
         )
-        self.net = DinoFeaturizer(
-            vit_cfg,
-            dim=self.dim,
-            feat_type=cfg.dino_feat_type,
-            projection_type=cfg.projection_type,
-            use_dropout=cfg.dropout,
-            backbone_dtype=backbone_dtype,
-        )
+        if cfg.arch == "feature-pyramid":
+            from stego_tpu.models.fpn import FeaturePyramidNet
+
+            self.net = FeaturePyramidNet(
+                cfg.granularity, self.dim, cfg.continuous,
+                backbone_dtype=backbone_dtype,
+            )
+        elif cfg.arch == "dino":
+            self.net = DinoFeaturizer(
+                vit_cfg,
+                dim=self.dim,
+                feat_type=cfg.dino_feat_type,
+                projection_type=cfg.projection_type,
+                use_dropout=cfg.dropout,
+                backbone_dtype=backbone_dtype,
+            )
+        else:
+            raise ValueError(f"Unknown arch {cfg.arch}")
         self.corr_cfg = CorrLossCfg.from_config(cfg)
         self.crf_cfg = CRFLossCfg(
             n_samples=cfg.crf_samples, alpha=cfg.alpha, beta=cfg.beta,
@@ -195,11 +205,13 @@ def make_train_step(seg: UnsupervisedSegmenter):
             jax.random.split(key, 7)
         )
 
-        # Frozen backbone forward — img and img_pos in ONE batched ViT call.
+        # Frozen backbone forward — img and img_pos in ONE batched call.
+        bsz = img.shape[0]
         if use_pos:
             both = jnp.concatenate([img, batch["img_pos"]], axis=0)
             feat_both = seg.net.backbone_features(backbone, both)
-            image_feat, image_feat_pos = jnp.split(feat_both, 2, axis=0)
+            image_feat = jax.tree.map(lambda a: a[:bsz], feat_both)
+            image_feat_pos = jax.tree.map(lambda a: a[bsz:], feat_both)
         else:
             image_feat = seg.net.backbone_features(backbone, img)
             image_feat_pos = None
@@ -212,19 +224,17 @@ def make_train_step(seg: UnsupervisedSegmenter):
             metrics: Dict[str, jnp.ndarray] = {}
             code = seg.net.head_code(trainable["head"], image_feat, train=True,
                                      rng=k_head1)
-            feats = (
-                dropout2d(image_feat, seg.net.dropout_p, k_feat1)
-                if cfg.dropout else image_feat
-            )
+            feats = seg.net.signal(image_feat)
+            if cfg.dropout and seg.net.use_dropout:
+                feats = dropout2d(feats, seg.net.dropout_p, k_feat1)
             loss = jnp.zeros((), jnp.float32)
 
             if use_pos:
                 code_pos = seg.net.head_code(trainable["head"], image_feat_pos,
                                              train=True, rng=k_head2)
-                feats_pos = (
-                    dropout2d(image_feat_pos, seg.net.dropout_p, k_feat2)
-                    if cfg.dropout else image_feat_pos
-                )
+                feats_pos = seg.net.signal(image_feat_pos)
+                if cfg.dropout and seg.net.use_dropout:
+                    feats_pos = dropout2d(feats_pos, seg.net.dropout_p, k_feat2)
                 if cfg.use_true_labels:
                     signal = one_hot_feats(label + 1, seg.n_classes + 1)
                     signal_pos = one_hot_feats(batch["label_pos"] + 1,
