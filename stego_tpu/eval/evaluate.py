@@ -151,6 +151,32 @@ def evaluate(
 
     eval_step = jax.jit(make_eval_step(seg, eval_cfg.run_crf))
 
+    # optional PiCIE baseline comparison rows
+    # (reference eval_segmentation.py:70-75,143-145)
+    picie = None
+    if eval_cfg.run_picie and model_cfg.dataset_name == "cocostuff27":
+        from stego_tpu.models.picie import load_picie_checkpoint, picie_features
+        from stego_tpu.models.probes import cluster_lookup as _cl
+
+        try:
+            picie_state = load_picie_checkpoint(
+                join("saved_models", "picie_and_probes.pth"))
+            picie_metrics = UnsupervisedMetrics("picie/", seg.n_classes, 0,
+                                                True)
+            if "cluster_stats" in picie_state:
+                picie_metrics.merge_stats(picie_state["cluster_stats"])
+                picie_metrics.compute()
+
+            def picie_step(img):
+                feats = picie_features(picie_state["backbone"],
+                                       picie_state["decoder"], img)
+                _, probs = _cl(picie_state["cluster_probe"], feats, alpha=None)
+                return jnp.argmax(probs, axis=-1)
+
+            picie = (jax.jit(picie_step), picie_metrics)
+        except (FileNotFoundError, RuntimeError) as e:
+            print(f"PiCIE comparison disabled: {e}")
+
     linear_metrics = UnsupervisedMetrics("final/linear/", seg.n_classes, 0,
                                          False)
     cluster_metrics = UnsupervisedMetrics(
@@ -158,7 +184,7 @@ def evaluate(
     )
 
     saved: Dict[str, list] = {"img": [], "label": [], "cluster": [],
-                              "linear": []}
+                              "linear": [], "picie": []}
     n_keep = eval_cfg.n_images
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
@@ -175,6 +201,15 @@ def evaluate(
             saved["label"].extend(np.asarray(batch["label"][:take]))
             saved["cluster"].extend(np.asarray(cluster_preds[:take]))
             saved["linear"].extend(np.asarray(linear_preds[:take]))
+            if picie is not None:
+                picie_step, picie_metrics = picie
+                ppreds = np.asarray(picie_step(img))[:take]
+                if picie_metrics.assignments is not None:
+                    ppreds = picie_metrics.map_clusters(ppreds)
+                saved["picie"].extend(
+                    np.asarray(interpolate(
+                        jnp.asarray(ppreds[..., None], jnp.float32),
+                        label.shape[1:3], "nearest"))[..., 0].astype(np.int64))
 
     metrics = {**linear_metrics.compute(), **cluster_metrics.compute()}
     print(model_path)
@@ -190,9 +225,11 @@ def evaluate(
         linears = np.stack(saved["linear"])
         save_prediction_images(result_dir, imgs, labels, clusters, linears,
                                cmap)
+        rows = {"Image": imgs, "Label": labels, "STEGO\n(Ours)": clusters}
+        if saved["picie"]:
+            rows["PiCIE\n(Baseline)"] = np.stack(saved["picie"])
         save_comparison_grid(
-            join(result_dir, "comparison.png"),
-            {"Image": imgs, "Label": labels, "STEGO\n(Ours)": clusters},
+            join(result_dir, "comparison.png"), rows,
             cmap, dark_mode=eval_cfg.dark_mode,
         )
         try:
