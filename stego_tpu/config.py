@@ -135,6 +135,9 @@ class Config:
     val_batch_size: int = 0
     # neighbors stored in the KNN cache (reference precompute_knns.py topk(30))
     knn_k: int = 30
+    # dense-CRF backend at eval: "grid" (on-device, coarse bilateral) or
+    # "exact" (host-side native permutohedral lattice, pydensecrf-equivalent)
+    crf_backend: str = "grid"
 
     def __post_init__(self):
         if self.arch not in ("dino", "feature-pyramid"):

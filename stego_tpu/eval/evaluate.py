@@ -81,9 +81,12 @@ def _n_classes_for(cfg: Config) -> int:
     return dataset_dispatch(cfg.dataset_name, cfg.crop_type, cfg)["n_classes"]
 
 
-def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool):
+def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
+                   return_probs: bool = False):
     """jitted eval step: flip-TTA code (reference eval_segmentation.py:124-126),
-    probe log-probs, optional on-device CRF, argmax predictions."""
+    probe log-probs, optional on-device CRF, argmax predictions.
+    ``return_probs`` skips on-device CRF/argmax and returns the log-prob maps
+    (used by the host-side exact-CRF backend)."""
 
     def eval_step(backbone, params, img, label):
         _, code1 = seg.net.apply(backbone, params["head"], img, train=False)
@@ -98,6 +101,13 @@ def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool):
         )
         cluster_probs = cluster_lookup(params["cluster_probe"], code,
                                        alpha=2.0, log_probs=True)
+
+        if return_probs:
+            img01 = jnp.clip(
+                img * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN),
+                0.0, 1.0,
+            )
+            return linear_probs, cluster_probs, img01
 
         if run_crf:
             img01 = jnp.clip(
@@ -149,7 +159,9 @@ def evaluate(
     batch_size = max(d, (batch_size // d) * d)
     loader = DataLoader(val_dataset, batch_size, shuffle=False, drop_last=False)
 
-    eval_step = jax.jit(make_eval_step(seg, eval_cfg.run_crf))
+    exact_crf = eval_cfg.run_crf and eval_cfg.crf_backend == "exact"
+    eval_step = jax.jit(make_eval_step(seg, eval_cfg.run_crf,
+                                       return_probs=exact_crf))
 
     # optional PiCIE baseline comparison rows
     # (reference eval_segmentation.py:70-75,143-145)
@@ -192,7 +204,17 @@ def evaluate(
         batch = _pad_batch(batch, batch_size)
         img = jax.device_put(jnp.asarray(batch["img"]), bs_shard)
         label = jax.device_put(jnp.asarray(batch["label"]), bs_shard)
-        linear_preds, cluster_preds = eval_step(backbone, params, img, label)
+        if exact_crf:
+            from stego_tpu.ops.crf_exact import dense_crf_exact_batch
+
+            lp, cp, img01 = eval_step(backbone, params, img, label)
+            linear_preds = dense_crf_exact_batch(
+                np.asarray(img01), np.asarray(lp)).argmax(-1)
+            cluster_preds = dense_crf_exact_batch(
+                np.asarray(img01), np.asarray(cp)).argmax(-1)
+        else:
+            linear_preds, cluster_preds = eval_step(backbone, params, img,
+                                                    label)
         linear_metrics.update(np.asarray(linear_preds), np.asarray(label))
         cluster_metrics.update(np.asarray(cluster_preds), np.asarray(label))
         if len(saved["img"]) < n_keep:

@@ -1,0 +1,91 @@
+"""Exact dense-CRF mean field via the native permutohedral lattice.
+
+Same parameters/behavior surface as :mod:`stego_tpu.ops.crf` (the reference's
+pydensecrf pipeline, src/crf.py) but with the bilateral term computed by the
+full-resolution lattice filter (stego_tpu/native) instead of the coarse-grid
+approximation — host-side, like pydensecrf. Use via ``crf_backend: "exact"``.
+
+Mean-field update (Krähenbühl & Koltun, NeurIPS 2011), Potts compatibility,
+symmetrically normalized kernels with the self-interaction removed:
+    Q <- softmax(unary + Σ_m w_m (D^-1/2 K_m D^-1/2 Q - Q))
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stego_tpu.native import permutohedral_filter
+from stego_tpu.ops.crf import (
+    BI_RGB_STD,
+    BI_W,
+    BI_XY_STD,
+    MAX_ITER,
+    POS_W,
+    POS_XY_STD,
+)
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _upsample_bilinear(logits: np.ndarray, hw) -> np.ndarray:
+    from stego_tpu.ops.interp import interpolate
+
+    return np.asarray(interpolate(logits[None], hw, "bilinear",
+                                  align_corners=False)[0])
+
+
+class _Kernel:
+    def __init__(self, positions: np.ndarray):
+        self.positions = np.ascontiguousarray(positions, np.float32)
+        ones = np.ones((positions.shape[0], 1), np.float32)
+        self.inv_sqrt_norm = 1.0 / np.sqrt(
+            np.maximum(permutohedral_filter(self.positions, ones), 1e-20)
+        )
+
+    def message(self, q: np.ndarray) -> np.ndarray:
+        # symmetric normalization D^-1/2 K D^-1/2 q. The self-interaction's
+        # weight is k(i,i)/norm_i ≈ 1/|neighborhood| — negligible for the
+        # large-support CRF kernels, so it is not explicitly removed
+        # (subtracting full q would over-correct by ~norm_i).
+        tmp = permutohedral_filter(self.positions, q * self.inv_sqrt_norm)
+        return tmp * self.inv_sqrt_norm
+
+
+def dense_crf_exact(image01: np.ndarray, logits: np.ndarray,
+                    n_iter: int = MAX_ITER) -> np.ndarray:
+    """One image: (H, W, 3) in [0,1] + (h, w, C) logits -> (H, W, C) probs."""
+    h, w = image01.shape[:2]
+    up = _upsample_bilinear(np.asarray(logits, np.float32), (h, w))
+    unary = up - np.log(np.exp(up - up.max(-1, keepdims=True))
+                        .sum(-1, keepdims=True)) - up.max(-1, keepdims=True)
+    unary = unary.reshape(h * w, -1)
+
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    spatial_pos = np.stack([xs / POS_XY_STD, ys / POS_XY_STD],
+                           axis=-1).reshape(-1, 2)
+    rgb = np.asarray(image01, np.float32) * 255.0
+    bilateral_pos = np.concatenate([
+        np.stack([xs / BI_XY_STD, ys / BI_XY_STD], axis=-1).reshape(-1, 2),
+        rgb.reshape(-1, 3) / BI_RGB_STD,
+    ], axis=1)
+
+    k_sp = _Kernel(spatial_pos)
+    k_bi = _Kernel(bilateral_pos)
+
+    q = _softmax(unary)
+    for _ in range(n_iter):
+        pairwise = POS_W * k_sp.message(q) + BI_W * k_bi.message(q)
+        q = _softmax(unary + pairwise)
+    return q.reshape(h, w, -1)
+
+
+def dense_crf_exact_batch(images01: np.ndarray, logits: np.ndarray,
+                          n_iter: int = MAX_ITER) -> np.ndarray:
+    return np.stack([
+        dense_crf_exact(images01[i], logits[i], n_iter)
+        for i in range(len(images01))
+    ])
