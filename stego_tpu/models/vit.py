@@ -127,19 +127,31 @@ def _layer_norm(p: Dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _attention(
-    p: Dict, x: jnp.ndarray, num_heads: int, want_qkv: bool
+    p: Dict, x: jnp.ndarray, num_heads: int, want_qkv: bool,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     """Self-attention block (reference Attention.forward,
-    vision_transformer.py:78-90). Returns (out, attn, qkv)."""
+    vision_transformer.py:78-90). Returns (out, attn, qkv).
+
+    When the caller does not need attention probabilities (the scanned trunk
+    blocks), the forward-only flash kernel avoids materializing the N x N
+    attention matrix (ops/flash_attention.py)."""
     b, n, d = x.shape
     hd = d // num_heads
     qkv = x @ p["qkv_kernel"].astype(x.dtype) + p["qkv_bias"].astype(x.dtype)
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
     scale = hd**-0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(logits * scale, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(x.dtype), v)
+    if use_flash and not want_qkv:
+        from stego_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, scale)
+        attn = None
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits * scale, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(x.dtype), v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = out @ p["proj_kernel"].astype(x.dtype) + p["proj_bias"].astype(x.dtype)
     if want_qkv:
@@ -148,13 +160,14 @@ def _attention(
 
 
 def _block(
-    p: Dict, x: jnp.ndarray, cfg: ViTConfig, want_qkv: bool = False
+    p: Dict, x: jnp.ndarray, cfg: ViTConfig, want_qkv: bool = False,
+    use_flash: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     """Pre-LN transformer block (reference Block.forward,
     vision_transformer.py:106-114). DropPath is identity: DINO eval / frozen
     backbone never enables stochastic depth."""
     y, attn, qkv = _attention(p["attn"], _layer_norm(p["norm1"], x, cfg.ln_eps),
-                              cfg.num_heads, want_qkv)
+                              cfg.num_heads, want_qkv, use_flash=use_flash)
     x = x + y
     h = _layer_norm(p["norm2"], x, cfg.ln_eps)
     h = h @ p["mlp"]["fc1_kernel"].astype(x.dtype) + p["mlp"]["fc1_bias"].astype(x.dtype)
@@ -216,6 +229,7 @@ def vit_get_intermediate_feat(
     n: int = 1,
     dtype=jnp.float32,
     want_attn_qkv: bool = True,
+    use_flash: bool | None = None,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], List[jnp.ndarray]]:
     """Normed tokens (+ attention, qkv) of the last ``n`` blocks.
 
@@ -232,6 +246,12 @@ def vit_get_intermediate_feat(
     """
     n = int(n)
     assert 1 <= n <= cfg.depth
+    if use_flash is None:
+        # Measured on TPU v5e: XLA's fused softmax(QK)V beats our streaming
+        # kernel at STEGO's sequence lengths (N<=3137: 3.3ms vs 7.5ms/layer at
+        # N=785, b*h=192), so the flash path stays opt-in — it exists for the
+        # very-long-sequence regime where the N x N matrix stops fitting.
+        use_flash = False
     x = _prepare_tokens(params, img, cfg, dtype)
     n_scan = cfg.depth - n
 
@@ -239,7 +259,8 @@ def vit_get_intermediate_feat(
         scan_params = jax.tree.map(lambda a: a[:n_scan], params["blocks"])
 
         def body(carry, blk):
-            out, _, _ = _block(blk, carry, cfg, want_qkv=False)
+            out, _, _ = _block(blk, carry, cfg, want_qkv=False,
+                               use_flash=use_flash)
             return out, None
 
         x, _ = jax.lax.scan(body, x, scan_params)

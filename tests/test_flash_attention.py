@@ -1,0 +1,45 @@
+"""Flash attention vs standard attention (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from stego_tpu.ops.flash_attention import flash_attention
+
+
+def standard(q, k, v, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+
+@pytest.mark.parametrize("n", [17, 128, 200])
+def test_flash_matches_standard(n):
+    b, h, d = 2, 3, 32
+    q = jr.normal(jr.PRNGKey(0), (b, h, n, d))
+    k = jr.normal(jr.PRNGKey(1), (b, h, n, d))
+    v = jr.normal(jr.PRNGKey(2), (b, h, n, d))
+    scale = d**-0.5
+    want = standard(q, k, v, scale)
+    got = flash_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_vit_flash_equals_standard_interpret():
+    from stego_tpu.models.vit import ViTConfig, init_vit_params, \
+        vit_get_intermediate_feat
+
+    cfg = ViTConfig(patch_size=4, embed_dim=32, depth=3, num_heads=4,
+                    img_size=16)
+    params = init_vit_params(jr.PRNGKey(0), cfg)
+    img = jr.normal(jr.PRNGKey(1), (2, 16, 16, 3))
+    f_std, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=False)
+    # interpret-mode flash on CPU (forced through the use_flash flag)
+    import stego_tpu.ops.flash_attention as fa
+    f_fla, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=True)
+    np.testing.assert_allclose(np.asarray(f_fla[0]), np.asarray(f_std[0]),
+                               rtol=1e-4, atol=1e-5)
