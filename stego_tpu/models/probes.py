@@ -91,3 +91,12 @@ def init_decoder(key: jax.Array, dim: int, n_feats: int) -> Dict:
 
 def decoder_apply(params: Dict, code: jnp.ndarray) -> jnp.ndarray:
     return code @ params["kernel"] + params["bias"]
+
+
+def resize_and_classify(params: Dict, x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """1x1-conv classifier -> log-softmax -> bilinear upsample (reference
+    ResizeAndClassify, src/modules.py:121-131)."""
+    from stego_tpu.ops.interp import interpolate
+
+    logp = jax.nn.log_softmax(linear_probe_logits(params, x), axis=-1)
+    return interpolate(logp, size, "bilinear", align_corners=False)

@@ -143,14 +143,17 @@ def _attention(
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
     scale = hd**-0.5
     if use_flash and not want_qkv:
-        from stego_tpu.ops.flash_attention import flash_attention
+        from stego_tpu.ops.flash_attention import trunk_attention
 
-        out = flash_attention(q, k, v, scale)
+        out = trunk_attention(q, k, v, scale)
         attn = None
     else:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits * scale, axis=-1)
+                            preferred_element_type=jnp.float32) * scale
+        # bf16 trunks materialize the (N x N) logits in bf16 — softmax (with
+        # max subtraction) is stable there and attention is HBM-bound, so this
+        # halves the dominant traffic. f32 trunks keep full precision.
+        attn = jax.nn.softmax(logits.astype(x.dtype), axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(x.dtype), v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = out @ p["proj_kernel"].astype(x.dtype) + p["proj_bias"].astype(x.dtype)
@@ -247,10 +250,12 @@ def vit_get_intermediate_feat(
     n = int(n)
     assert 1 <= n <= cfg.depth
     if use_flash is None:
-        # Measured on TPU v5e: XLA's fused softmax(QK)V beats our streaming
-        # kernel at STEGO's sequence lengths (N<=3137: 3.3ms vs 7.5ms/layer at
-        # N=785, b*h=192), so the flash path stays opt-in — it exists for the
-        # very-long-sequence regime where the N x N matrix stops fitting.
+        # Off by default. Measured standalone on v5e, the VMEM-resident kernel
+        # beats XLA's fused attention (2.85 vs 3.35 ms/layer at N=785,
+        # b*h=192), BUT Mosaic compilation of the kernel inside the scanned
+        # train step takes >10 minutes on the remote-compile tunnel — a bad
+        # trade for ~10% step time. Opt in via use_flash=True where compile
+        # time is amortized (long production runs).
         use_flash = False
     x = _prepare_tokens(params, img, cfg, dtype)
     n_scan = cfg.depth - n
@@ -289,3 +294,21 @@ def vit_cls_forward(params: Dict, img: jnp.ndarray, cfg: ViTConfig,
                     dtype=jnp.float32) -> jnp.ndarray:
     """CLS-token forward (reference forward, vision_transformer.py:211-216)."""
     return vit_forward_feats(params, img, cfg, dtype)[:, 0]
+
+
+def vit_get_last_selfattention(params: Dict, img: jnp.ndarray, cfg: ViTConfig,
+                               dtype=jnp.float32) -> jnp.ndarray:
+    """Attention probabilities of the last block (reference
+    get_last_selfattention, vision_transformer.py:239-246)."""
+    _, attns, _ = vit_get_intermediate_feat(params, img, cfg, n=1, dtype=dtype)
+    return attns[0]
+
+
+def vit_get_intermediate_layers(params: Dict, img: jnp.ndarray,
+                                cfg: ViTConfig, n: int = 1,
+                                dtype=jnp.float32) -> List[jnp.ndarray]:
+    """Normed token outputs of the last n blocks (reference
+    get_intermediate_layers, vision_transformer.py:248-256)."""
+    feats, _, _ = vit_get_intermediate_feat(params, img, cfg, n=n, dtype=dtype,
+                                            want_attn_qkv=False)
+    return feats

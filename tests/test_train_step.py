@@ -156,3 +156,37 @@ def test_masked_cross_entropy_matches_torch():
     ).item()
     got = float(masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels), 4))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_use_salience_path():
+    cfg, seg, backbone, state = tiny_setup(use_salience=True)
+    step = jax.jit(make_train_step(seg))
+    batch = synthetic_batch(jr.PRNGKey(12))
+    state, metrics = step(backbone, state, batch, jr.PRNGKey(13))
+    assert np.isfinite(float(metrics["loss/total"]))
+
+
+def test_val_step_sharded_matches_single(cpu_devices):
+    from stego_tpu.parallel.mesh import batch_sharding, make_mesh, \
+        replicated_sharding
+
+    cfg, seg, backbone, state = tiny_setup()
+    val_step = make_val_step(seg)
+    batch = synthetic_batch(jr.PRNGKey(14))
+    out1 = jax.jit(val_step)(backbone, state["params"], batch)
+
+    mesh = make_mesh()
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    sharded = {
+        "img": jax.device_put(batch["img"], bs),
+        "label": jax.device_put(batch["label"], bs),
+    }
+    out8 = jax.jit(val_step)(
+        jax.device_put(backbone, rs), jax.device_put(state["params"], rs),
+        sharded,
+    )
+    # psum'd confusion matrices must equal the single-device matrices
+    np.testing.assert_array_equal(np.asarray(out1["conf_cluster"]),
+                                  np.asarray(out8["conf_cluster"]))
+    np.testing.assert_array_equal(np.asarray(out1["conf_linear"]),
+                                  np.asarray(out8["conf_linear"]))
