@@ -226,7 +226,15 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     batches: Iterator = infinite_batches(train_loader)
     t0 = time.time()
     imgs_seen = 0
+    profiling = False
     for step_idx in range(cfg.max_steps):
+        # profiler trace hooks (SURVEY.md §5): capture steps 10-20 when enabled
+        if cfg.profile_dir and step_idx == 10:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+        if profiling and step_idx == 20:
+            jax.profiler.stop_trace()
+            profiling = False
         batch = next(batches)
         dev_batch = _device_batch(batch, bs)
         state, metrics = train_step(
