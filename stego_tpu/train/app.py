@@ -210,7 +210,22 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     backbone = jax.device_put(backbone, rs)
     state = jax.device_put(state, rs)
 
-    train_step = jax.jit(make_train_step(seg), donate_argnums=(1,))
+    raw_step = make_train_step(seg)
+    if cfg.checkify:
+        # sanitizer mode (SURVEY.md §5): float checks on every op; errors
+        # surface with source locations instead of silent NaN propagation
+        from jax.experimental import checkify as _checkify
+
+        checked = _checkify.checkify(raw_step, errors=_checkify.float_checks)
+
+        def train_step(backbone, state, batch, key):
+            err, out = checked(backbone, state, batch, key)
+            _checkify.check_error(err)
+            return out
+
+        train_step = jax.jit(train_step)
+    else:
+        train_step = jax.jit(raw_step, donate_argnums=(1,))
     val_step = jax.jit(make_val_step(seg))
 
     val_bs = cfg.val_batch_size or cfg.batch_size
@@ -252,10 +267,16 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             state = jax.device_put(state, rs)
 
         if (step_idx + 1) % cfg.scalar_log_freq == 0:
-            host = {k: float(v) for k, v in metrics.items()}
+            host = {k: float(v) for k, v in metrics.items()
+                    if not k.startswith("hist/")}
             dt = time.time() - t0
             host["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
             logger.log_scalars(step_idx + 1, host)
+
+        if cfg.hist_freq and (step_idx + 1) % cfg.hist_freq == 0:
+            for k, v in metrics.items():
+                if k.startswith("hist/"):
+                    logger.log_histogram_counts(step_idx + 1, k, v)
 
         if (step_idx + 1) % cfg.val_freq == 0 or step_idx + 1 == cfg.max_steps:
             metrics_out = run_validation(

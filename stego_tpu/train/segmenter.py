@@ -183,6 +183,15 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
         "cd/pos_inter": jnp.mean(out["pos_inter_cd"]),
         "cd/neg_inter": jnp.mean(out["neg_inter_cd"]),
     }
+    # cd histograms (reference logs them every hist_freq steps,
+    # train_segmentation.py:165-168): binned ON DEVICE so only 64 counts per
+    # pair type leave the chip. The fused Pallas path never materializes cd
+    # tensors, so it reports means only.
+    for name in ("pos_intra_cd", "pos_inter_cd", "neg_inter_cd"):
+        cd = out[name]
+        if cd.ndim > 0:
+            counts, _ = jnp.histogram(cd, bins=64, range=(-1.0, 1.0))
+            metrics[f"hist/{name.replace('_cd', '')}"] = counts
     return corr_loss, metrics
 
 

@@ -44,6 +44,29 @@ class MetricLogger:
 
             self._tb.add_histogram(name, np.asarray(values), int(step))
 
+    def log_histogram_counts(self, step: int, name: str, counts,
+                             lo: float = -1.0, hi: float = 1.0) -> None:
+        """Log a pre-binned histogram (counts computed on device)."""
+        if self._tb is None:
+            return
+        import numpy as np
+
+        counts = np.asarray(counts, np.float64)
+        nbins = len(counts)
+        edges = np.linspace(lo, hi, nbins + 1)
+        centers = (edges[:-1] + edges[1:]) / 2
+        total = counts.sum()
+        if total == 0:
+            return
+        self._tb.add_histogram_raw(
+            name, min=lo, max=hi, num=int(total),
+            sum=float((centers * counts).sum()),
+            sum_squares=float((centers**2 * counts).sum()),
+            bucket_limits=edges[1:].tolist(),
+            bucket_counts=counts.tolist(),
+            global_step=int(step),
+        )
+
     def log_image(self, step: int, name: str, img_hwc) -> None:
         if self._tb is not None:
             import numpy as np

@@ -79,9 +79,15 @@ def test_train_step_sharded_matches_single_device(cpu_devices):
                                  key)
 
     for k in m1:
-        np.testing.assert_allclose(
-            float(m1[k]), float(m8[k]), rtol=1e-4, atol=1e-5, err_msg=k
-        )
+        if k.startswith("hist/"):
+            # bin-edge rounding can move a couple of counts between adjacent
+            # bins under different reduction orders
+            assert float(np.abs(np.asarray(m1[k]) - np.asarray(m8[k])).sum()) <= 8, k
+        else:
+            np.testing.assert_allclose(
+                np.asarray(m1[k]), np.asarray(m8[k]), rtol=1e-4, atol=1e-5,
+                err_msg=k,
+            )
     g1 = np.asarray(s1["params"]["head"]["cluster1"]["kernel"])
     g8 = np.asarray(s8["params"]["head"]["cluster1"]["kernel"])
     np.testing.assert_allclose(g1, g8, rtol=1e-4, atol=1e-5)
