@@ -190,7 +190,11 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
     for name in ("pos_intra_cd", "pos_inter_cd", "neg_inter_cd"):
         cd = out[name]
         if cd.ndim > 0:
-            counts, _ = jnp.histogram(cd, bins=64, range=(-1.0, 1.0))
+            # clip: cosine values sit at exactly ±1 up to rounding (the
+            # pos_intra diagonal), and must land in the edge bins
+            # deterministically regardless of reduction order
+            counts, _ = jnp.histogram(jnp.clip(cd, -1.0, 1.0), bins=64,
+                                      range=(-1.0, 1.0))
             metrics[f"hist/{name.replace('_cd', '')}"] = counts
     return corr_loss, metrics
 
