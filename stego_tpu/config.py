@@ -138,6 +138,10 @@ class Config:
     # dense-CRF backend at eval: "grid" (on-device, coarse bilateral) or
     # "exact" (host-side native permutohedral lattice, pydensecrf-equivalent)
     crf_backend: str = "grid"
+    # cache decoded+transformed base-dataset items in RAM (single-core hosts
+    # decode ~46 imgs/s vs ~300 consumed by the chip). Only valid when the
+    # base transform is deterministic per index (loader_crop_type != random).
+    cache_dataset: bool = False
 
     def __post_init__(self):
         if self.arch not in ("dino", "feature-pyramid"):

@@ -164,17 +164,30 @@ def sample_geometric_params(
     return GeometricParams(flip, (top, left, ch, cw), out_res)
 
 
+def resize_bilinear_np(arr: np.ndarray, out_hw) -> np.ndarray:
+    """Host-side bilinear resize (torch align_corners=False semantics) as two
+    numpy matmuls — NO device round-trip. Data augmentation runs per sample
+    with varying crop shapes; routing it through jit would compile once per
+    unique shape."""
+    from stego_tpu.ops.interp import _linear_weight_matrix
+
+    h, w = arr.shape[:2]
+    wh = _linear_weight_matrix(out_hw[0], h, False).astype(np.float32)
+    ww = _linear_weight_matrix(out_hw[1], w, False).astype(np.float32)
+    squeeze = arr.ndim == 2
+    a = arr[..., None] if squeeze else arr
+    out = np.einsum("ih,hwc->iwc", wh, a.astype(np.float32))
+    out = np.einsum("jw,iwc->ijc", ww, out)
+    return out[..., 0] if squeeze else out
+
+
 def apply_geometric(arr: np.ndarray, p: GeometricParams) -> np.ndarray:
     """Apply flip + resized-crop to an HWC float array (bilinear resize)."""
     if p.flip:
         arr = arr[:, ::-1]
     top, left, ch, cw = p.crop_box
     crop = np.ascontiguousarray(arr[top:top + ch, left:left + cw])
-    from stego_tpu.ops.interp import interpolate  # local: host-side uses jax on cpu
-
-    out = interpolate(crop[None], (p.out_res, p.out_res), "bilinear",
-                      align_corners=False)[0]
-    return np.asarray(out)
+    return resize_bilinear_np(crop, (p.out_res, p.out_res))
 
 
 def _rgb_to_grayscale(img: np.ndarray) -> np.ndarray:

@@ -117,6 +117,13 @@ def make_datasets(cfg: Config):
         pos_labels=cfg.correspondence_weight > 0,
         seed=cfg.seed,
     )
+    if cfg.cache_dataset:
+        if cfg.loader_crop_type == "random":
+            raise ValueError("cache_dataset requires a deterministic "
+                             "loader_crop_type (not 'random')")
+        from stego_tpu.data.loader import CachedDataset
+
+        train_dataset.dataset = CachedDataset(train_dataset.dataset)
     val_loader_crop = None if cfg.dataset_name == "voc" else "center"
     val_dataset = ContrastiveSegDataset(
         pytorch_data_dir=cfg.pytorch_data_dir,

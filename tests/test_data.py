@@ -171,3 +171,26 @@ def test_collate_mixed():
     out = collate(items)
     assert out["a"].shape == (2, 2, 2)
     np.testing.assert_array_equal(out["b"], [3, 4])
+
+
+def test_cached_dataset(synthetic_dir):
+    from stego_tpu.data.datasets import DirectoryDataset
+    from stego_tpu.data.loader import CachedDataset
+
+    calls = {"n": 0}
+
+    class Counting(DirectoryDataset):
+        def __getitem__(self, index):
+            calls["n"] += 1
+            return super().__getitem__(index)
+
+    ds = Counting(synthetic_dir, "synth", "train",
+                  get_transform(16, False, "center"),
+                  get_transform(16, True, "center"))
+    cached = CachedDataset(ds)
+    a = cached[0]
+    b = cached[0]
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(a[0], b[0])
+    assert len(cached) == len(ds)
+    assert cached.label_files is not None  # attribute passthrough
