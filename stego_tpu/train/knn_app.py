@@ -64,20 +64,31 @@ def precompute_knns(
                     seed=cfg.seed,
                 )
                 if seg_net is None:
-                    from stego_tpu.models.vit import VIT_CONFIGS
                     import jax.numpy as jnp
 
-                    vcfg = vit_cfg or VIT_CONFIGS[cfg.model_type][
-                        cfg.dino_patch_size]
-                    seg_net = DinoFeaturizer(
-                        vcfg, dim=20, feat_type=cfg.dino_feat_type,
-                        projection_type=None, use_dropout=False,
-                        backbone_dtype=(
-                            jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
-                            else jnp.float32
-                        ),
-                    )
-                    backbone = build_backbone(cfg, vcfg, jax.random.PRNGKey(0))
+                    bdtype = (jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
+                              else jnp.float32)
+                    if cfg.arch == "dino":
+                        from stego_tpu.models.vit import VIT_CONFIGS
+
+                        vcfg = vit_cfg or VIT_CONFIGS[cfg.model_type][
+                            cfg.dino_patch_size]
+                        seg_net = DinoFeaturizer(
+                            vcfg, dim=20, feat_type=cfg.dino_feat_type,
+                            projection_type=None, use_dropout=False,
+                            backbone_dtype=bdtype,
+                        )
+                        backbone = build_backbone(cfg, vcfg,
+                                                  jax.random.PRNGKey(0))
+                    else:
+                        # non-dino archs embed with the cut backbone
+                        # (reference precompute_knns.py:56-58)
+                        from stego_tpu.models.zoo import CutBackboneEmbedder
+
+                        seg_net = CutBackboneEmbedder(cfg.model_type,
+                                                      backbone_dtype=bdtype)
+                        backbone = seg_net.load_or_init(
+                            cfg.pretrained_weights, jax.random.PRNGKey(0))
                 bs = min(batch_size, len(dataset))
                 d = mesh.devices.size
                 bs = max(d, (bs // d) * d)
