@@ -133,3 +133,34 @@ def test_load_reference_lightning_ckpt(tmp_path):
                                     full_sd["net.cluster2.2.bias"])
     want = (c1 + c2).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(code), want, rtol=2e-4, atol=2e-5)
+
+
+def test_potsdam_mosaic_stitching(trained_ckpt):
+    """Mosaic path end-to-end on a synthetic 2x2 tile grid."""
+    from stego_tpu.eval.analysis import potsdam_mosaic
+
+    cfg, ckpt_dir, _ = trained_ckpt
+    rng = np.random.default_rng(0)
+
+    class FakeTiles:
+        def __len__(self):
+            return 8  # two scenes of 2x2
+
+        def __getitem__(self, i):
+            cls = i % 3
+            img = np.zeros((16, 16, 3), np.float32)
+            img[..., cls] = 1.0
+            return {"img": img,
+                    "label": np.full((16, 16), cls, np.int64)}
+
+    out = potsdam_mosaic(cfg, ckpt_dir, img_num=1, tile_res=16,
+                         vit_cfg=ViTConfig(patch_size=4, embed_dim=32,
+                                           depth=2, num_heads=4, img_size=16),
+                         dataset=FakeTiles(), grid=2)
+    assert out["img"].shape == (32, 32, 3)
+    assert out["label"].shape == (32, 32)
+    assert out["cluster"].shape == (32, 32)
+    # tile (0,0) of scene 1 is dataset index 4 -> class 1: stitching is
+    # row-major with tiles laid out (gy, gx)
+    assert (out["label"][:16, :16] == 1).all()
+    assert os.path.exists("results/predictions/potsdam/cluster/1.png")
