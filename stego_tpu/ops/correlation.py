@@ -178,6 +178,9 @@ def contrastive_correlation_loss(
         )
         neg_losses.append(neg_inter_loss)
         neg_cds.append(neg_inter_cd)
+    if not neg_losses:  # neg_samples == 0
+        zero = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+        neg_losses, neg_cds = [zero], [zero]
 
     return {
         "pos_intra_loss": jnp.mean(pos_intra_loss),

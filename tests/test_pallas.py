@@ -173,3 +173,44 @@ def test_full_field_mode_runs_with_grads():
     g = jax.grad(loss)(code)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_multi_group_matches_per_pair_calls():
+    """One multi-group launch must equal separate single-pair fused calls
+    (and hence the einsum oracle) including grads."""
+    from stego_tpu.ops.pallas_corr import (
+        fused_correlation_loss,
+        fused_correlation_loss_multi,
+    )
+
+    f1, f2, c1, c2 = _data(jr.PRNGKey(5), b=2)
+    f3, f4, c3, c4 = _data(jr.PRNGKey(6), b=3)  # different group size
+
+    def multi(c1, c3):
+        losses, cds = fused_correlation_loss_multi(
+            [(f1, f2, c1, c2), (f3, f4, c3, c4)], [0.1, 0.4], interpret=True)
+        return losses, cds
+
+    (losses, cds) = multi(c1, c3)
+    l1, cd1 = fused_correlation_loss(f1, f2, c1, c2, 0.1, interpret=True)
+    l2, cd2 = fused_correlation_loss(f3, f4, c3, c4, 0.4, interpret=True)
+    np.testing.assert_allclose(float(losses[0]), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(float(losses[1]), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(float(cds[0]), float(cd1), rtol=1e-5)
+    np.testing.assert_allclose(float(cds[1]), float(cd2), rtol=1e-5)
+
+    def total_multi(c1, c3):
+        losses, _ = multi(c1, c3)
+        return 2.0 * losses[0] + 3.0 * losses[1]
+
+    def total_single(c1, c3):
+        return (2.0 * fused_correlation_loss(f1, f2, c1, c2, 0.1,
+                                             interpret=True)[0]
+                + 3.0 * fused_correlation_loss(f3, f4, c3, c4, 0.4,
+                                               interpret=True)[0])
+
+    g_multi = jax.grad(total_multi, argnums=(0, 1))(c1, c3)
+    g_single = jax.grad(total_single, argnums=(0, 1))(c1, c3)
+    for gm, gs in zip(g_multi, g_single):
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gs), rtol=2e-4,
+                                   atol=1e-6)
