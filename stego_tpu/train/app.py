@@ -276,8 +276,11 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         if (step_idx + 1) % cfg.scalar_log_freq == 0:
             host = {k: float(v) for k, v in metrics.items()
                     if not k.startswith("hist/")}
+            # rolling window so compile time doesn't pollute steady state
             dt = time.time() - t0
             host["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
+            t0 = time.time()
+            imgs_seen = 0
             logger.log_scalars(step_idx + 1, host)
 
         if cfg.hist_freq and (step_idx + 1) % cfg.hist_freq == 0:

@@ -96,3 +96,31 @@ def test_linear_probe():
 def test_cluster_probe_init():
     p = init_cluster_probe(jr.PRNGKey(0), 7, 5)
     assert p["clusters"].shape == (5, 7)
+
+
+def test_featurizer_kk_feat_type():
+    """feat_type='KK' uses per-head keys of the last block
+    (reference modules.py:98-101)."""
+    import torch
+
+    from tests.test_vit import CFG as TCFG, make_torch_sd, \
+        torch_oracle_intermediate_feat
+    from stego_tpu.models.convert import vit_params_from_torch
+
+    sd = make_torch_sd()
+    params = vit_params_from_torch(sd, TCFG)
+    f = DinoFeaturizer(TCFG, dim=5, feat_type="KK", projection_type="linear",
+                       use_dropout=False)
+    x = torch.randn(2, 3, 16, 16, generator=torch.Generator().manual_seed(3))
+    img = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    feats = f.backbone_features(params, img)
+    assert feats.shape == (2, 4, 4, 32)
+
+    # oracle: keys of last block, cls dropped; channel = (head, head_dim)
+    # head-major, matching the reference's permute/reshape (modules.py:99-101)
+    _, qkvs = torch_oracle_intermediate_feat(sd, x, n=1)
+    k = qkvs[0][1][:, :, 1:, :]  # (B, H, N-1, hd)
+    b, h, n, hd = k.shape
+    want = k.permute(0, 2, 1, 3).reshape(b, n, h * hd) \
+        .reshape(b, 4, 4, h * hd).numpy()
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=2e-4, atol=2e-5)
