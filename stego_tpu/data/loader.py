@@ -36,17 +36,29 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """num_shards/shard_index: multi-host data sharding — every host
+        shuffles the SAME global permutation (seeded identically) then takes
+        its equal-length stripe, so global batches are disjoint and all hosts
+        step the same number of batches."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.epoch = 0
 
+    def _shard_len(self) -> int:
+        return len(self.dataset) // self.num_shards if self.num_shards > 1 \
+            else len(self.dataset)
+
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -56,6 +68,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            usable = self._shard_len() * self.num_shards
+            idx = idx[:usable][self.shard_index::self.num_shards]
         return idx
 
     def _iter_batches(self) -> Iterator[Dict[str, Any]]:

@@ -173,12 +173,18 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
     cluster_metrics = UnsupervisedMetrics(
         "test/cluster/", seg.n_classes, seg.cfg.extra_clusters, True
     )
+    from stego_tpu.parallel.multihost import global_batch as _global_batch
+
+    pc = jax.process_count()
     for batch in val_loader:
         batch = _pad_batch(batch, batch_size)
-        dev = {
-            "img": jax.device_put(jnp.asarray(batch["img"]), bs),
-            "label": jax.device_put(jnp.asarray(batch["label"]), bs),
-        }
+        host = {"img": np.asarray(batch["img"]),
+                "label": np.asarray(batch["label"])}
+        if pc > 1:
+            dev = _global_batch(mesh, host)
+        else:
+            dev = {k: jax.device_put(jnp.asarray(v), bs)
+                   for k, v in host.items()}
         out = val_step(backbone, params, dev)
         linear_metrics.merge_stats(np.asarray(out["conf_linear"]))
         cluster_metrics.merge_stats(np.asarray(out["conf_cluster"]))
@@ -195,11 +201,23 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    from stego_tpu.parallel.multihost import (
+        global_batch,
+        is_primary,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
+    pc = jax.process_count()
+    primary = is_primary()
+
     log_dir = join(cfg.output_root, "logs",
                    f"{cfg.dataset_name}_{cfg.experiment_name}")
     ckpt_dir = join(cfg.output_root, "checkpoints",
                     f"{cfg.dataset_name}_{cfg.experiment_name}")
-    logger = MetricLogger(log_dir)
+    from stego_tpu.utils.logging import NullLogger
+
+    logger = MetricLogger(log_dir) if primary else NullLogger()
 
     if train_dataset is None or val_dataset is None:
         train_dataset, val_dataset = make_datasets(cfg)
@@ -235,14 +253,21 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         train_step = jax.jit(raw_step, donate_argnums=(1,))
     val_step = jax.jit(make_val_step(seg))
 
+    # per-host loaders: each process decodes its stripe of the global batch
     val_bs = cfg.val_batch_size or cfg.batch_size
-    train_loader = DataLoader(train_dataset, cfg.batch_size, shuffle=True,
-                              seed=cfg.seed)
-    val_loader = DataLoader(val_dataset, val_bs, shuffle=False,
-                            drop_last=False)
+    if cfg.batch_size % pc or val_bs % pc:
+        raise ValueError(f"batch sizes must divide process_count={pc}")
+    pi = jax.process_index()
+    train_loader = DataLoader(train_dataset, cfg.batch_size // pc,
+                              shuffle=True, seed=cfg.seed,
+                              num_shards=pc, shard_index=pi)
+    val_loader = DataLoader(val_dataset, val_bs // pc, shuffle=False,
+                            drop_last=False, num_shards=pc, shard_index=pi)
 
-    mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k)
-    mgr.save_backbone(backbone)
+    mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k) \
+        if primary else None
+    if mgr:
+        mgr.save_backbone(backbone)
 
     metrics_out: Dict[str, float] = {}
     batches: Iterator = infinite_batches(train_loader)
@@ -258,7 +283,11 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             jax.profiler.stop_trace()
             profiling = False
         batch = next(batches)
-        dev_batch = _device_batch(batch, bs)
+        if pc > 1:
+            dev_batch = global_batch(
+                mesh, {k: batch[k] for k in TRAIN_BATCH_KEYS if k in batch})
+        else:
+            dev_batch = _device_batch(batch, bs)
         state, metrics = train_step(
             backbone, state, dev_batch,
             jax.random.fold_in(k_steps, step_idx),
@@ -297,12 +326,13 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             print(f"step {step_idx + 1}: " + ", ".join(
                 f"{k}={v:.2f}" for k, v in metrics_out.items()))
 
-        if (step_idx + 1) % cfg.checkpoint_freq == 0 or \
-                step_idx + 1 == cfg.max_steps:
+        if mgr is not None and ((step_idx + 1) % cfg.checkpoint_freq == 0 or
+                                step_idx + 1 == cfg.max_steps):
             mgr.save(step_idx + 1, jax.device_get(state), metrics=metrics_out)
 
     logger.close()
-    mgr.close()
+    if mgr is not None:
+        mgr.close()
     return metrics_out
 
 

@@ -78,3 +78,22 @@ class MetricLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """No-op logger for non-primary hosts."""
+
+    def log_scalars(self, *a, **k):
+        pass
+
+    def log_histogram(self, *a, **k):
+        pass
+
+    def log_histogram_counts(self, *a, **k):
+        pass
+
+    def log_image(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
