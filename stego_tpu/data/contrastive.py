@@ -25,7 +25,6 @@ from stego_tpu.data.datasets import (
     PotsdamRaw,
 )
 from stego_tpu.data.transforms import (
-    GeometricParams,
     apply_geometric,
     apply_photometric,
     make_coord_grid,

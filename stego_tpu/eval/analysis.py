@@ -11,9 +11,8 @@ align_corners=True — plot_dino_correspondence.py:45-56).
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 from os.path import join
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,14 +13,13 @@ stubs and extracts the tensors.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from stego_tpu.models.resnet import (
-    init_resnet50_params,
     resnet50_features,
     resnet50_params_from_torch,
 )
@@ -87,7 +86,6 @@ def load_picie_checkpoint(path: str) -> Dict[str, Any]:
     The file pickles full torch modules; missing classes are stubbed so the
     tensors can be extracted.
     """
-    import io
     import pickle
 
     import torch

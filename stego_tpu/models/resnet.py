@@ -15,7 +15,7 @@ Taps follow the reference's ``NetWithActivations`` over
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Mapping, Tuple
+from typing import Any, Dict, List, Mapping
 
 import jax
 import jax.numpy as jnp

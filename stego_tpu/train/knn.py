@@ -12,7 +12,6 @@ reference-produced caches interoperate (data.py:503-511).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,7 @@ import numpy as np
 
 from stego_tpu.models.featurizer import DinoFeaturizer
 from stego_tpu.ops.math import l2_normalize
-from stego_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from stego_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
 def make_embed_fn(net: DinoFeaturizer, backbone, mesh=None):

@@ -108,8 +108,7 @@ def precompute_knns(
                         else:
                             yield {"img": img, "_pad": 0}
 
-                from stego_tpu.train.knn import (embed_dataset, make_embed_fn,
-                                                 topk_neighbors)
+                from stego_tpu.train.knn import make_embed_fn, topk_neighbors
                 import numpy as np
 
                 embed_fn = make_embed_fn(seg_net, backbone, mesh)
