@@ -51,12 +51,14 @@ def embed_dataset(embed_fn, loader) -> np.ndarray:
 
 def topk_neighbors(
     feats: np.ndarray, k: int = 30, n_chunks: int = 16,
-    mesh=None,
+    mesh=None, max_sims_bytes: int = 1 << 30,
 ) -> np.ndarray:
     """Row-chunked all-pairs cosine top-k (reference
     precompute_knns.py:86-94). Each chunk is one MXU matmul + on-device top_k;
     with a mesh, chunk rows are sharded over devices against a replicated
-    table."""
+    table. Chunk rows are capped so the similarity block stays under
+    ``max_sims_bytes`` (CocoStuff-scale N would otherwise build multi-GB
+    blocks with the reference's fixed 16 chunks)."""
     n = feats.shape[0]
     k = min(k, n)
     table = jnp.asarray(feats)
@@ -77,6 +79,7 @@ def topk_neighbors(
         )
 
     step = max(1, n // n_chunks)
+    step = min(step, max(1, max_sims_bytes // (4 * n)))
     if mesh is not None:
         d = mesh.devices.size
         step = max(d, (step // d) * d)
