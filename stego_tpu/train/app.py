@@ -164,10 +164,13 @@ def _pad_batch(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
 
 
 def run_validation(seg, val_step, backbone, params, val_loader, mesh,
-                   batch_size: int) -> Dict[str, float]:
+                   batch_size: int, figure_path: Optional[str] = None
+                   ) -> Dict[str, float]:
     """Sharded validation epoch: device-side confusion matrices, host-side
     Hungarian (reference validation_step/epoch_end,
-    train_segmentation.py:254-283)."""
+    train_segmentation.py:254-283). When ``figure_path`` is given, also
+    renders the image/label/linear/cluster prediction panel the reference
+    logs each validation (train_segmentation.py:290-302)."""
     bs = batch_sharding(mesh)
     linear_metrics = UnsupervisedMetrics("test/linear/", seg.n_classes, 0, False)
     cluster_metrics = UnsupervisedMetrics(
@@ -176,6 +179,7 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
     from stego_tpu.parallel.multihost import global_batch as _global_batch
 
     pc = jax.process_count()
+    panel = None
     for batch in val_loader:
         batch = _pad_batch(batch, batch_size)
         host = {"img": np.asarray(batch["img"]),
@@ -188,7 +192,27 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
         out = val_step(backbone, params, dev)
         linear_metrics.merge_stats(np.asarray(out["conf_linear"]))
         cluster_metrics.merge_stats(np.asarray(out["conf_cluster"]))
-    return {**linear_metrics.compute(), **cluster_metrics.compute()}
+        if panel is None and figure_path is not None:
+            n = min(seg.cfg.n_images, len(host["img"]))
+            panel = {
+                "img": host["img"][:n], "label": host["label"][:n],
+                "linear": np.asarray(out["linear_preds"][:n]),
+                "cluster": np.asarray(out["cluster_preds"][:n]),
+            }
+    metrics = {**linear_metrics.compute(), **cluster_metrics.compute()}
+    if panel is not None:
+        from stego_tpu.data.colormaps import colormap_for_dataset
+        from stego_tpu.utils.viz import save_comparison_grid
+
+        mapped = cluster_metrics.map_clusters(panel["cluster"])
+        save_comparison_grid(
+            figure_path,
+            {"Image": panel["img"], "Label": panel["label"],
+             "Linear Probe": panel["linear"],
+             "Cluster Probe": np.asarray(mapped)},
+            colormap_for_dataset(seg.cfg.dataset_name),
+        )
+    return metrics
 
 
 def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
@@ -321,6 +345,8 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             metrics_out = run_validation(
                 seg, val_step, backbone, state["params"], val_loader, mesh,
                 val_bs,
+                figure_path=(join(log_dir, f"val_panel_{step_idx + 1}.png")
+                             if primary else None),
             )
             logger.log_scalars(step_idx + 1, metrics_out)
             print(f"step {step_idx + 1}: " + ", ".join(
