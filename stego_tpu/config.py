@@ -242,6 +242,14 @@ def prep_args(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     import sys
 
     args = list(sys.argv[1:] if argv is None else argv)
+    if any(a in ("--help", "-h", "help") for a in args):
+        print(__doc__)
+        print("Config keys (key=value or --key value; 'config=<yaml>' loads "
+              "a base file first):\n")
+        defaults = Config()
+        for f in dataclasses.fields(Config):
+            print(f"  {f.name} (default: {getattr(defaults, f.name)!r})")
+        raise SystemExit(0)
     out: Dict[str, Any] = {}
     while args:
         arg = args.pop(0)

@@ -83,3 +83,15 @@ def test_end_to_end_knn_train_val(data_root, tmp_path):
     log_file = os.path.join(cfg.output_root, "logs", "directory_exp1",
                             "metrics.jsonl")
     assert os.path.getsize(log_file) > 0
+
+
+def test_end_to_end_pallas_loss(data_root, tmp_path):
+    """Train via the fused Pallas loss (interpret mode on CPU) end to end."""
+    cfg = make_cfg(data_root, tmp_path, use_pallas_loss=True, max_steps=4,
+                   val_freq=4, checkpoint_freq=4,
+                   experiment_name="pallas_e2e")
+    precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
+                    vit_cfg=TINY_VIT, res=16, batch_size=8)
+    metrics = train(cfg, vit_cfg=TINY_VIT)
+    for v in metrics.values():
+        assert np.isfinite(v)
