@@ -152,3 +152,37 @@ class CachedDataset:
             hit = self.dataset[index]
             self._cache[index] = hit
         return hit
+
+
+def compact_batch(batch):
+    """Shrink the host->device wire format ~3x: float32 -> float16,
+    int64 -> int16 (the device link dominates step time on tunneled
+    single-chip setups; ~38 MB/step of f32+int64 at batch 16 / res 224).
+    The train/val steps cast back on device via restore_dtypes — normalized
+    image values are O(1), far inside f16 range/precision, and all label
+    spaces fit int16."""
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.dtype == np.float32:
+            out[k] = v.astype(np.float16)
+        elif v.dtype == np.int64:
+            out[k] = v.astype(np.int16)
+        else:
+            out[k] = v
+    return out
+
+
+def restore_dtypes(batch):
+    """On-device inverse of compact_batch (jnp arrays in, jnp arrays out)."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in batch.items():
+        if v.dtype == jnp.float16:
+            out[k] = v.astype(jnp.float32)
+        elif v.dtype in (jnp.int16, jnp.int8):
+            out[k] = v.astype(jnp.int32)
+        else:
+            out[k] = v
+    return out

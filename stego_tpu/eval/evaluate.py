@@ -89,6 +89,10 @@ def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
     (used by the host-side exact-CRF backend)."""
 
     def eval_step(backbone, params, img, label):
+        from stego_tpu.data.loader import restore_dtypes
+
+        restored = restore_dtypes({"img": img, "label": label})
+        img, label = restored["img"], restored["label"]
         _, code1 = seg.net.apply(backbone, params["head"], img, train=False)
         _, code2 = seg.net.apply(backbone, params["head"], img[:, :, ::-1],
                                  train=False)
@@ -202,8 +206,12 @@ def evaluate(
         if max_batches is not None and bi >= max_batches:
             break
         batch = _pad_batch(batch, batch_size)
-        img = jax.device_put(jnp.asarray(batch["img"]), bs_shard)
-        label = jax.device_put(jnp.asarray(batch["label"]), bs_shard)
+        from stego_tpu.data.loader import compact_batch
+
+        compact = compact_batch({"img": np.asarray(batch["img"]),
+                                 "label": np.asarray(batch["label"])})
+        img = jax.device_put(jnp.asarray(compact["img"]), bs_shard)
+        label = jax.device_put(jnp.asarray(compact["label"]), bs_shard)
         if exact_crf:
             from stego_tpu.ops.crf_exact import dense_crf_exact_batch
 

@@ -140,11 +140,12 @@ def make_datasets(cfg: Config):
 
 
 def _device_batch(batch: Dict[str, Any], sharding) -> Dict[str, jnp.ndarray]:
-    out = {}
-    for k in TRAIN_BATCH_KEYS:
-        if k in batch:
-            out[k] = jax.device_put(jnp.asarray(batch[k]), sharding)
-    return out
+    from stego_tpu.data.loader import compact_batch
+
+    compact = compact_batch(
+        {k: batch[k] for k in TRAIN_BATCH_KEYS if k in batch})
+    return {k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in compact.items()}
 
 
 def _pad_batch(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
@@ -182,8 +183,10 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
     panel = None
     for batch in val_loader:
         batch = _pad_batch(batch, batch_size)
-        host = {"img": np.asarray(batch["img"]),
-                "label": np.asarray(batch["label"])}
+        from stego_tpu.data.loader import compact_batch
+
+        host = compact_batch({"img": np.asarray(batch["img"]),
+                              "label": np.asarray(batch["label"])})
         if pc > 1:
             dev = _global_batch(mesh, host)
         else:
@@ -293,6 +296,15 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     if mgr:
         mgr.save_backbone(backbone)
 
+    # only ship what the step consumes — the host->device link is the
+    # bottleneck on tunneled setups (masks only matter under use_salience,
+    # aug tensors only under aug_alignment)
+    step_keys = ["img", "label", "img_pos", "label_pos"]
+    if cfg.use_salience:
+        step_keys += ["mask", "mask_pos"]
+    if cfg.aug_alignment_weight > 0:
+        step_keys += ["img_aug", "coord_aug"]
+
     metrics_out: Dict[str, float] = {}
     batches: Iterator = infinite_batches(train_loader)
     t0 = time.time()
@@ -307,9 +319,11 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             jax.profiler.stop_trace()
             profiling = False
         batch = next(batches)
+        batch = {k: batch[k] for k in step_keys if k in batch}
         if pc > 1:
-            dev_batch = global_batch(
-                mesh, {k: batch[k] for k in TRAIN_BATCH_KEYS if k in batch})
+            from stego_tpu.data.loader import compact_batch
+
+            dev_batch = global_batch(mesh, compact_batch(batch))
         else:
             dev_batch = _device_batch(batch, bs)
         state, metrics = train_step(
@@ -322,7 +336,7 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                 step_idx + 1 == cfg.reset_probe_steps:
             print("RESETTING PROBES")
             state = seg.reset_probes(
-                jax.random.fold_in(k_steps, -1), state
+                jax.random.fold_in(k_steps, cfg.max_steps + 1), state
             )
             state = jax.device_put(state, rs)
 

@@ -214,6 +214,9 @@ def make_train_step(seg: UnsupervisedSegmenter):
 
     def train_step(backbone: Params, state: Dict[str, Any], batch: Dict[str, Any],
                    key: jax.Array):
+        from stego_tpu.data.loader import restore_dtypes
+
+        batch = restore_dtypes(batch)
         img = batch["img"]
         label = batch["label"]
         k_head1, k_head2, k_feat1, k_feat2, k_corr, k_crf, k_head3 = (
@@ -371,6 +374,9 @@ def make_val_step(seg: UnsupervisedSegmenter):
     extra = seg.cfg.extra_clusters
 
     def val_step(backbone: Params, params: Params, batch: Dict[str, Any]):
+        from stego_tpu.data.loader import restore_dtypes
+
+        batch = restore_dtypes(batch)
         img = batch["img"]
         label = batch["label"]
         _, code = seg.net.apply(backbone, params["head"], img, train=False)
