@@ -154,17 +154,28 @@ class CachedDataset:
         return hit
 
 
+# ImageNet-normalized image keys travel as uint8: the host pipeline's NEAREST
+# resize preserves the original uint8 pixel values, so inverting the
+# normalization and re-quantizing is EXACT for the main image path (and
+# <0.5/255 off for bilinear-resampled aug images). 4x smaller than f32.
+_IMAGE_KEYS = ("img", "img_pos", "img_aug")
+
+
 def compact_batch(batch):
-    """Shrink the host->device wire format ~3x: float32 -> float16,
-    int64 -> int16 (the device link dominates step time on tunneled
-    single-chip setups; ~38 MB/step of f32+int64 at batch 16 / res 224).
-    The train/val steps cast back on device via restore_dtypes — normalized
-    image values are O(1), far inside f16 range/precision, and all label
-    spaces fit int16."""
+    """Shrink the host->device wire format ~4x (the device link dominates
+    step time on tunneled single-chip setups; ~38 MB/step of f32+int64 at
+    batch 16 / res 224): normalized images -> uint8 (inverse-normalized),
+    other float32 -> float16, int64 -> int16. The train/val steps invert on
+    device via restore_dtypes."""
+    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        if v.dtype == np.float32:
+        if k in _IMAGE_KEYS and v.dtype == np.float32 and v.shape[-1] == 3:
+            raw = v * IMAGENET_STD + IMAGENET_MEAN
+            out[k] = np.clip(np.rint(raw * 255.0), 0, 255).astype(np.uint8)
+        elif v.dtype == np.float32:
             out[k] = v.astype(np.float16)
         elif v.dtype == np.int64:
             out[k] = v.astype(np.int16)
@@ -174,12 +185,20 @@ def compact_batch(batch):
 
 
 def restore_dtypes(batch):
-    """On-device inverse of compact_batch (jnp arrays in, jnp arrays out)."""
+    """On-device inverse of compact_batch (jnp arrays in, jnp arrays out).
+    Float32 inputs pass through untouched, so callers that never compacted
+    (tests, direct API use) see identity behavior."""
     import jax.numpy as jnp
 
+    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
     out = {}
     for k, v in batch.items():
-        if v.dtype == jnp.float16:
+        if k in _IMAGE_KEYS and v.dtype == jnp.uint8:
+            out[k] = (v.astype(jnp.float32) / 255.0 - mean) / std
+        elif v.dtype == jnp.float16:
             out[k] = v.astype(jnp.float32)
         elif v.dtype in (jnp.int16, jnp.int8):
             out[k] = v.astype(jnp.int32)

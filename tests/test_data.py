@@ -194,3 +194,35 @@ def test_cached_dataset(synthetic_dir):
     np.testing.assert_array_equal(a[0], b[0])
     assert len(cached) == len(ds)
     assert cached.label_files is not None  # attribute passthrough
+
+
+def test_compact_batch_roundtrip():
+    """uint8-wire images round-trip exactly for uint8-sourced pixels; labels
+    and floats survive compaction."""
+    import jax.numpy as jnp
+
+    from stego_tpu.data.loader import compact_batch, restore_dtypes
+    from stego_tpu.data.transforms import normalize
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, (2, 8, 8, 3)).astype(np.float32) / 255.0
+    img = normalize(raw).astype(np.float32)
+    batch = {
+        "img": img,
+        "label": rng.integers(-1, 200, (2, 8, 8)).astype(np.int64),
+        "coord_aug": rng.standard_normal((2, 8, 8, 2)).astype(np.float32),
+    }
+    compact = compact_batch(batch)
+    assert compact["img"].dtype == np.uint8
+    assert compact["label"].dtype == np.int16
+    assert compact["coord_aug"].dtype == np.float16
+    restored = restore_dtypes({k: jnp.asarray(v) for k, v in compact.items()})
+    # exact round trip for uint8-sourced image pixels (up to float eps)
+    np.testing.assert_allclose(np.asarray(restored["img"]), img, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(restored["label"]),
+                                  batch["label"])
+    np.testing.assert_allclose(np.asarray(restored["coord_aug"]),
+                               batch["coord_aug"], atol=2e-3)
+    # identity for non-compacted f32 input
+    passthrough = restore_dtypes({"img": jnp.asarray(img)})
+    np.testing.assert_array_equal(np.asarray(passthrough["img"]), img)
