@@ -117,6 +117,9 @@ class Config:
     backbone_dtype: str = "bfloat16"
     # Use the fused Pallas correspondence-loss kernel instead of the einsum path.
     use_pallas_loss: bool = False
+    # Pallas attention kernel for the frozen trunk (unrolls the block scan).
+    # None = auto: on for bfloat16 backbones, off for float32 (parity/tests).
+    use_flash_attention: Optional[bool] = None
     # Full-field correspondence loss (HW x HW) instead of sampled coords; the
     # blockwise Pallas kernel makes this tractable (SURVEY.md §5 "long-context").
     full_field_loss: bool = False

@@ -79,6 +79,7 @@ class DinoFeaturizer:
         use_dropout: bool = True,
         dropout_p: float = 0.1,
         backbone_dtype=jnp.float32,
+        use_flash_attention: bool | None = None,
     ):
         if feat_type not in ("feat", "KK"):
             raise ValueError(f"Unknown feat type: {feat_type}")
@@ -89,6 +90,12 @@ class DinoFeaturizer:
         self.use_dropout = use_dropout
         self.dropout_p = dropout_p
         self.backbone_dtype = backbone_dtype
+        if use_flash_attention is None:
+            # bf16 production trunks take the Pallas kernel (measured 1.2x on
+            # the 12-layer trunk fwd, v5e); f32 keeps the scan/einsum path for
+            # torch-oracle parity and fast test compiles.
+            use_flash_attention = backbone_dtype == jnp.bfloat16
+        self.use_flash_attention = use_flash_attention
         # both 'feat' (tokens) and 'KK' (heads*head_dim) have embed_dim channels
         self.n_feats = vit_cfg.embed_dim
 
@@ -114,7 +121,7 @@ class DinoFeaturizer:
         want_qkv = self.feat_type == "KK"
         feats, _, qkvs = vit_get_intermediate_feat(
             backbone_params, img, cfg, n=1, dtype=self.backbone_dtype,
-            want_attn_qkv=want_qkv,
+            want_attn_qkv=want_qkv, use_flash=self.use_flash_attention,
         )
         if self.feat_type == "feat":
             image_feat = feats[0][:, 1:, :].reshape(b, hp, wp, cfg.embed_dim)

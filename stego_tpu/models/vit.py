@@ -174,7 +174,12 @@ def _block(
     x = x + y
     h = _layer_norm(p["norm2"], x, cfg.ln_eps)
     h = h @ p["mlp"]["fc1_kernel"].astype(x.dtype) + p["mlp"]["fc1_bias"].astype(x.dtype)
-    h = jax.nn.gelu(h, approximate=False)
+    # erf-exact GELU costs ~0.6 ms/layer on the VPU at this width (measured:
+    # 12.75 vs 5.54 ms for the 12-layer MLP chain); the tanh approximation's
+    # max error (~1e-3) is below bf16 quantization noise, so bf16 trunks use
+    # it. f32 trunks keep the exact erf for torch-oracle parity
+    # (reference vision_transformer.py nn.GELU).
+    h = jax.nn.gelu(h, approximate=(x.dtype == jnp.bfloat16))
     h = h @ p["mlp"]["fc2_kernel"].astype(x.dtype) + p["mlp"]["fc2_bias"].astype(x.dtype)
     x = x + h
     return x, attn, qkv
@@ -250,30 +255,35 @@ def vit_get_intermediate_feat(
     n = int(n)
     assert 1 <= n <= cfg.depth
     if use_flash is None:
-        # Off by default. Measured standalone on v5e, the VMEM-resident kernel
-        # beats XLA's fused attention (2.85 vs 3.35 ms/layer at N=785,
-        # b*h=192), BUT Mosaic compilation of the kernel inside the scanned
-        # train step takes >10 minutes on the remote-compile tunnel — a bad
-        # trade for ~10% step time. Opt in via use_flash=True where compile
-        # time is amortized (long production runs).
         use_flash = False
+    # Pallas kernels inside lax.scan hit a Mosaic compile cliff (>10 min on the
+    # remote-compile tunnel); an unrolled trunk with the kernel compiles in
+    # ~40 s — so flash implies unroll (CLAUDE.md perf notes).
+    unroll = use_flash
     x = _prepare_tokens(params, img, cfg, dtype)
     n_scan = cfg.depth - n
 
     if n_scan > 0:
-        scan_params = jax.tree.map(lambda a: a[:n_scan], params["blocks"])
+        if unroll:
+            for i in range(n_scan):
+                blk = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
+                x, _, _ = _block(blk, x, cfg, want_qkv=False,
+                                 use_flash=use_flash)
+        else:
+            scan_params = jax.tree.map(lambda a: a[:n_scan], params["blocks"])
 
-        def body(carry, blk):
-            out, _, _ = _block(blk, carry, cfg, want_qkv=False,
-                               use_flash=use_flash)
-            return out, None
+            def body(carry, blk):
+                out, _, _ = _block(blk, carry, cfg, want_qkv=False,
+                                   use_flash=use_flash)
+                return out, None
 
-        x, _ = jax.lax.scan(body, x, scan_params)
+            x, _ = jax.lax.scan(body, x, scan_params)
 
     feats, attns, qkvs = [], [], []
     for i in range(n_scan, cfg.depth):
-        blk = jax.tree.map(lambda a: a[i], params["blocks"])
-        x, attn, qkv = _block(blk, x, cfg, want_qkv=want_attn_qkv)
+        blk = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
+        x, attn, qkv = _block(blk, x, cfg, want_qkv=want_attn_qkv,
+                              use_flash=use_flash)
         feats.append(_layer_norm(params["norm"], x, cfg.ln_eps).astype(jnp.float32))
         attns.append(attn)
         qkvs.append(qkv)

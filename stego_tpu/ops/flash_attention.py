@@ -169,10 +169,71 @@ def resident_attention(
     return jax.lax.stop_gradient(out)
 
 
+def _batch_resident_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_heads):
+    """All heads of one batch element per grid step.
+
+    Compared to :func:`_resident_kernel` (one (batch, head) per step): 6x fewer
+    grid steps and larger DMA blocks, no explicit sequence padding or column
+    masking (blocks cover the exact (N, d) trailing dims; Mosaic's internal
+    tile padding is masked out of reductions automatically), scale applied to
+    the (N, d) queries instead of the (N, N) logits, probabilities cast to the
+    value dtype BEFORE the AV matmul, and the softmax normalizer applied to the
+    (N, d) output instead of the (N, N) probabilities. Heads loop via fori_loop
+    so Mosaic reuses ONE (N, N) stack buffer (a python unroll allocates one per
+    head -> VMEM OOM)."""
+
+    def body(h, carry):
+        # Dots stay in the input dtype (bf16 operands, f32 accumulation) —
+        # upcasting q/k to f32 forces a multi-pass f32 MXU matmul (~4x slower).
+        # For DINO head_dim 64, scale = 0.125 is exact in bf16.
+        q = q_ref[0, h] * jnp.asarray(scale, q_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_heads, body, 0)
+
+
+def batch_resident_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """VMEM-resident attention, one batch element (all heads) per grid step."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, n, d = q.shape
+    n_pad = -(-n // 128) * 128
+    assert n_pad <= RESIDENT_MAX_N, "use flash_attention for long sequences"
+
+    out = pl.pallas_call(
+        functools.partial(_batch_resident_kernel, scale=scale, n_heads=h),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+        interpret=bool(interpret),
+    )(q, k, v)
+    return jax.lax.stop_gradient(out)
+
+
 def trunk_attention(q, k, v, scale) -> jnp.ndarray:
     """Best forward-only attention for the frozen trunk: VMEM-resident kernel
     when the sequence fits, streaming flash otherwise."""
     n_pad = -(-q.shape[2] // 128) * 128
     if n_pad <= RESIDENT_MAX_N:
-        return resident_attention(q, k, v, scale)
+        return batch_resident_attention(q, k, v, scale)
     return flash_attention(q, k, v, scale)
