@@ -402,6 +402,8 @@ def contrastive_correlation_loss_fused(
     orig_feats_pos: jnp.ndarray,
     orig_code: jnp.ndarray,
     orig_code_pos: jnp.ndarray,
+    orig_salience: jnp.ndarray | None = None,
+    orig_salience_pos: jnp.ndarray | None = None,
     full_field: bool = False,
     interpret: bool | None = None,
 ):
@@ -412,7 +414,10 @@ def contrastive_correlation_loss_fused(
     ``full_field=True`` skips coordinate sampling and runs the loss over the
     complete (HW x HW) correspondence field — the reference's 11x11 subsampled
     loss becomes the exact dense objective. All pair types (self, knn-pos,
-    stacked negatives) run in ONE launch.
+    stacked negatives) run in ONE launch. Salience-biased coordinate draws
+    (reference modules.py:355-364) behave exactly like the einsum oracle;
+    salience is incompatible with ``full_field`` (there is no coordinate draw
+    to bias) and raises.
     """
     from stego_tpu.ops.correlation import _draw_coords
     from stego_tpu.ops.math import super_perm
@@ -422,13 +427,19 @@ def contrastive_correlation_loss_fused(
     k_c1, k_c2, k_neg = jax.random.split(key, 3)
 
     if full_field:
+        if cfg.use_salience and orig_salience is not None:
+            raise ValueError(
+                "use_salience is incompatible with full_field_loss: the dense "
+                "loss has no coordinate draw to bias (reference "
+                "modules.py:355-364 applies salience to coordinate sampling)."
+            )
         feats, code = orig_feats, orig_code
         feats_pos, code_pos = orig_feats_pos, orig_code_pos
         coords2 = None
     else:
         s = cfg.feature_samples
-        coords1 = _draw_coords(k_c1, b, s, None, cfg)
-        coords2 = _draw_coords(k_c2, b, s, None, cfg)
+        coords1 = _draw_coords(k_c1, b, s, orig_salience, cfg)
+        coords2 = _draw_coords(k_c2, b, s, orig_salience_pos, cfg)
         feats = sample_from_coords(orig_feats, coords1)
         code = sample_from_coords(orig_code, coords1)
         feats_pos = sample_from_coords(orig_feats_pos, coords2)

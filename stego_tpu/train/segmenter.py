@@ -86,6 +86,7 @@ class UnsupervisedSegmenter:
                 projection_type=cfg.projection_type,
                 use_dropout=cfg.dropout,
                 backbone_dtype=backbone_dtype,
+                use_flash_attention=cfg.use_flash_attention,
             )
         else:
             raise ValueError(f"Unknown arch {cfg.arch}")
@@ -163,7 +164,7 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
 
         out = contrastive_correlation_loss_fused(
             seg.corr_cfg, key, signal, signal_pos, code, code_pos,
-            full_field=cfg.full_field_loss,
+            salience, salience_pos, full_field=cfg.full_field_loss,
         )
     else:
         out = contrastive_correlation_loss(
@@ -307,9 +308,16 @@ def make_train_step(seg: UnsupervisedSegmenter):
 
             linear_logits = linear_probe_logits(trainable["linear_probe"],
                                                 detached_code)
-            linear_logits = interpolate(linear_logits, label.shape[1:3],
+            # Upsample the probe logits (28^2 -> label res, reference
+            # train_segmentation.py:210-218) in bf16: the (B, res, res, C)
+            # f32 tensor + its backward dominate the probe cost (~1.5 ms/step
+            # measured); bf16 halves the traffic and only quantizes an
+            # auxiliary probe's logits. CE stays in f32.
+            linear_logits = interpolate(linear_logits.astype(jnp.bfloat16),
+                                        label.shape[1:3],
                                         "bilinear", align_corners=False)
-            linear_loss = masked_cross_entropy(linear_logits, label, seg.n_classes)
+            linear_loss = masked_cross_entropy(
+                linear_logits.astype(jnp.float32), label, seg.n_classes)
             loss = loss + linear_loss
             metrics["loss/linear"] = linear_loss
 
@@ -355,6 +363,13 @@ def make_train_step(seg: UnsupervisedSegmenter):
             new_params["decoder"] = net_new["decoder"]
         new_params["linear_probe"] = lin_new
         new_params["cluster_probe"] = clu_new
+
+        if getattr(seg.net, "has_bn_state", False):
+            # refresh BatchNorm running statistics (FPN arm; torch BN buffers
+            # are updated on the train-mode forward — here after the optimizer
+            # step, gradient-free)
+            new_params["head"] = seg.net.bn_state_update(new_params["head"],
+                                                         image_feat)
 
         new_state = {
             "params": new_params,

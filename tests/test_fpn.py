@@ -148,3 +148,46 @@ def test_fpn_train_step():
     assert np.isfinite(float(metrics["loss/total"]))
     state, metrics2 = step(backbone, state, batch, jr.PRNGKey(4))
     assert np.isfinite(float(metrics2["loss/total"]))
+
+
+def test_fpn_bn_running_stats():
+    """BatchNorm parity (reference DoubleConv, modules.py:255-272): train mode
+    uses batch stats; eval uses EMA running stats; the train step refreshes
+    the EMA buffers (round-1 deviation: eval used batch stats)."""
+    cfg = Config(arch="feature-pyramid", model_type="resnet50", granularity=2,
+                 dataset_name="directory", dir_dataset_name="s", res=64,
+                 dim=6, feature_samples=4, neg_samples=2, crop_type=None,
+                 backbone_dtype="float32", dino_patch_size=8)
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg)
+    backbone = init_resnet50_params(jr.PRNGKey(0))
+    state = seg.init_state(jr.PRNGKey(1))
+    ema0 = np.asarray(state["params"]["head"]["conv2"]["norm1"]["ema_mean"])
+    assert (ema0 == 0).all()
+
+    b = 4
+    key = jr.PRNGKey(2)
+    batch = {
+        "img": jr.normal(key, (b, 64, 64, 3)),
+        "img_pos": jr.normal(jr.fold_in(key, 1), (b, 64, 64, 3)),
+        "label": jr.randint(jr.fold_in(key, 2), (b, 64, 64), -1, 3),
+        "label_pos": jr.randint(jr.fold_in(key, 3), (b, 64, 64), -1, 3),
+    }
+    step = jax.jit(make_train_step(seg))
+    state, _ = step(backbone, state, batch, jr.PRNGKey(3))
+    norm = state["params"]["head"]["conv2"]["norm1"]
+    ema1 = np.asarray(norm["ema_mean"])
+    assert np.abs(ema1).max() > 0  # EMA moved
+
+    # eval-mode code must use the running stats -> differ from train-mode
+    # batch stats, and be batch-size independent
+    net = seg.net
+    taps = net.backbone_features(backbone, batch["img"])
+    code_eval_full = net.head_code(state["params"]["head"], taps, train=False)
+    taps1 = net.backbone_features(backbone, batch["img"][:1])
+    code_eval_one = net.head_code(state["params"]["head"], taps1, train=False)
+    np.testing.assert_allclose(np.asarray(code_eval_full[:1]),
+                               np.asarray(code_eval_one), rtol=1e-4,
+                               atol=1e-5)
+    code_train = net.head_code(state["params"]["head"], taps, train=True)
+    assert np.abs(np.asarray(code_eval_full) - np.asarray(code_train)).max() \
+        > 1e-6

@@ -214,3 +214,59 @@ def test_multi_group_matches_per_pair_calls():
     for gm, gs in zip(g_multi, g_single):
         np.testing.assert_allclose(np.asarray(gm), np.asarray(gs), rtol=2e-4,
                                    atol=1e-6)
+
+
+def test_fused_salience_matches_einsum_oracle():
+    """Salience-biased coordinate draws must behave identically in the fused
+    path (reference modules.py:355-364; round-1 gap: fused silently ignored
+    salience)."""
+    from stego_tpu.ops.correlation import contrastive_correlation_loss
+    from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
+
+    cfg = CorrLossCfg(feature_samples=4, neg_samples=2, use_salience=True)
+    key = jr.PRNGKey(11)
+    b = 3
+    feats = jr.normal(jr.PRNGKey(1), (b, 6, 6, 10))
+    feats_pos = jr.normal(jr.PRNGKey(2), (b, 6, 6, 10))
+    code = jr.normal(jr.PRNGKey(3), (b, 6, 6, 5))
+    code_pos = jr.normal(jr.PRNGKey(4), (b, 6, 6, 5))
+    sal = (jr.uniform(jr.PRNGKey(5), (b, 6, 6)) > 0.6).astype(jnp.float32)
+    sal_pos = (jr.uniform(jr.PRNGKey(6), (b, 6, 6)) > 0.6).astype(jnp.float32)
+
+    ref = contrastive_correlation_loss(cfg, key, feats, feats_pos, code,
+                                       code_pos, sal, sal_pos)
+    got = contrastive_correlation_loss_fused(cfg, key, feats, feats_pos, code,
+                                             code_pos, sal, sal_pos,
+                                             interpret=True)
+    for k in ("pos_intra_loss", "pos_inter_loss"):
+        np.testing.assert_allclose(float(got[k]), float(ref[k]), rtol=2e-5,
+                                   atol=1e-6)
+    # negatives: salience-biased draws repeat the few nonzero locations, so
+    # correspondence rows are highly correlated and the fused kernel's
+    # streamed f32 closed-form (big_s1 - rowterm + ...) loses ~1e-4 relative
+    # to the oracle's direct mean — precision, not semantics
+    np.testing.assert_allclose(float(got["neg_inter_loss"]),
+                               float(jnp.mean(ref["neg_inter_loss"])),
+                               rtol=1e-3, atol=1e-6)
+
+    # a different salience mask must change the fused result (i.e. salience is
+    # actually consumed, not dropped)
+    got2 = contrastive_correlation_loss_fused(
+        cfg, key, feats, feats_pos, code, code_pos,
+        jnp.ones_like(sal), jnp.ones_like(sal_pos), interpret=True)
+    assert float(got2["pos_intra_loss"]) != float(got["pos_intra_loss"])
+
+
+def test_fused_salience_full_field_raises():
+    from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
+
+    cfg = CorrLossCfg(use_salience=True)
+    b = 2
+    feats = jr.normal(jr.PRNGKey(1), (b, 4, 4, 6))
+    code = jr.normal(jr.PRNGKey(2), (b, 4, 4, 3))
+    sal = jnp.ones((b, 4, 4))
+    import pytest
+    with pytest.raises(ValueError, match="full_field"):
+        contrastive_correlation_loss_fused(
+            cfg, jr.PRNGKey(0), feats, feats, code, code, sal, sal,
+            full_field=True, interpret=True)
