@@ -100,9 +100,14 @@ def plot_correspondence_figure(
         point = (query_points[0, p, 0] + 1) / 2 * high_res
         axes[0].scatter(point[0], point[1], c=[colors[p % 4]], marker="x",
                         s=500, linewidths=5)
-        vmax = np.abs(heatmap_intra[p]).max() or 1.0
-        axes[1].imshow(heatmap_intra[p], alpha=0.5, cmap=cmaps[p % 4])
-        axes[2].imshow(heatmap_inter[p], alpha=0.5, cmap=cmaps[p % 4])
+        # symmetric color range like reference plot_heatmap
+        # (plot_dino_correspondence.py:19-33)
+        vmax_intra = np.abs(heatmap_intra[p]).max() or 1.0
+        vmax_inter = np.abs(heatmap_inter[p]).max() or 1.0
+        axes[1].imshow(heatmap_intra[p], alpha=0.5, cmap=cmaps[p % 4],
+                       vmin=-vmax_intra, vmax=vmax_intra)
+        axes[2].imshow(heatmap_inter[p], alpha=0.5, cmap=cmaps[p % 4],
+                       vmin=-vmax_inter, vmax=vmax_inter)
     fig.tight_layout()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path)
@@ -264,18 +269,83 @@ def potsdam_mosaic(
 # precision-recall curves
 
 
-def crf_kernel_fd(img: jnp.ndarray, coords1: jnp.ndarray, coords2: jnp.ndarray,
-                  alpha=0.5, beta=0.15, gamma=0.05, w1=10.0, w2=3.0,
-                  shift=-0.3) -> jnp.ndarray:
-    """Analytic CRF-kernel feature distance over sampled coordinate pairs
-    (reference CRFModule + get_crf_fd, plot_pr_curves.py:53-67,95-107)."""
+def crf_pair_diffs(img: jnp.ndarray, coords1: jnp.ndarray,
+                   coords2: jnp.ndarray):
+    """(coord_diff, img_diff): squared coordinate / RGB distances between all
+    sampled coordinate pairs (reference get_crf_fd,
+    plot_pr_curves.py:95-107)."""
     n = img.shape[0]
-    s = coords1.shape[1]
     img_s1 = sample_from_coords(img, coords1).reshape(n, -1, 1, 3)
     img_s2 = sample_from_coords(img, coords2).reshape(n, 1, -1, 3)
     coord_diff = jnp.sum(jnp.square(
         coords1.reshape(n, -1, 1, 2) - coords2.reshape(n, 1, -1, 2)), -1)
     img_diff = jnp.sum(jnp.square(img_s1 - img_s2), -1)
+    return coord_diff, img_diff
+
+
+def init_crf_module() -> dict:
+    """Learnable CRF-kernel parameters at the reference's init values
+    (reference CRFModule.__init__, plot_pr_curves.py:53-61)."""
+    return {k: jnp.asarray(v, jnp.float32) for k, v in
+            dict(w1=10.0, w2=3.0, shift=-0.3,
+                 alpha=0.5, beta=0.15, gamma=0.05).items()}
+
+
+def crf_module_apply(params: dict, coord_diff: jnp.ndarray,
+                     img_diff: jnp.ndarray) -> jnp.ndarray:
+    """|w1|·exp(-d_xy/2e^α - d_rgb/2e^β) + |w2|·exp(-d_xy/2e^γ) - shift
+    (reference CRFModule.forward, plot_pr_curves.py:63-67)."""
+    return (jnp.abs(params["w1"])
+            * jnp.exp(-coord_diff / (2 * jnp.exp(params["alpha"]))
+                      - img_diff / (2 * jnp.exp(params["beta"])))
+            + jnp.abs(params["w2"])
+            * jnp.exp(-coord_diff / (2 * jnp.exp(params["gamma"])))
+            - params["shift"])
+
+
+def train_crf_recalibrator(coord_diff: jnp.ndarray, img_diff: jnp.ndarray,
+                           ld: jnp.ndarray, steps: int = 300,
+                           lr: float = 5e-2) -> dict:
+    """Train the 6 CRF-kernel scalars with BCE against label agreement.
+
+    The reference ships the apparatus for this (CRFModule inside
+    LitRecalibrator, plot_pr_curves.py:53-67,124-150) but its training_step is
+    vestigial (returns None); here the module actually trains: logits = kernel
+    output, targets = (label agreement > 0.5), optax Adam."""
+    import optax
+
+    params = init_crf_module()
+    targets = (ld.reshape(-1) > 0.5).astype(jnp.float32)
+    cd = coord_diff.reshape(-1)
+    idiff = img_diff.reshape(-1)
+    opt = optax.adam(lr)
+
+    def loss_fn(p):
+        fd = crf_module_apply(p, cd, idiff)
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(fd, targets))
+
+    @jax.jit
+    def run(params):
+        state = opt.init(params)
+
+        def body(_, carry):
+            p, s = carry
+            g = jax.grad(loss_fn)(p)
+            up, s = opt.update(g, s, p)
+            return optax.apply_updates(p, up), s
+
+        p, _ = jax.lax.fori_loop(0, steps, body, (params, state))
+        return p
+
+    return run(params)
+
+
+def crf_kernel_fd(img: jnp.ndarray, coords1: jnp.ndarray, coords2: jnp.ndarray,
+                  alpha=0.5, beta=0.15, gamma=0.05, w1=10.0, w2=3.0,
+                  shift=-0.3) -> jnp.ndarray:
+    """Analytic CRF-kernel feature distance over sampled coordinate pairs
+    (reference CRFModule + get_crf_fd, plot_pr_curves.py:53-67,95-107)."""
+    coord_diff, img_diff = crf_pair_diffs(img, coords1, coords2)
     return (w1 * jnp.exp(-coord_diff / (2 * np.exp(alpha))
                          - img_diff / (2 * np.exp(beta)))
             + w2 * jnp.exp(-coord_diff / (2 * np.exp(gamma))) - shift)

@@ -34,9 +34,11 @@ def demo(cfg: Config, model_path: str, image_dir: str, result_dir: str,
     dataset = UnlabeledImageFolder(
         image_dir, get_transform(cfg.res, False, "center")
     )
+    # decode each image ONCE (dataset[i] decodes; indexing it twice per item
+    # would double the decode work on the single-core host)
+    items = [dataset[i] for i in range(len(dataset))]
     loader = DataLoader(
-        [{"img": dataset[i][0], "name": dataset[i][1]}
-         for i in range(len(dataset))],
+        [{"img": img, "name": name} for img, name in items],
         batch_size=min(cfg.batch_size * 2, max(1, len(dataset))),
         shuffle=False, drop_last=False, prefetch=0,
     )

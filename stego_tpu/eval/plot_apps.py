@@ -16,12 +16,15 @@ from stego_tpu.data.transforms import get_transform
 from stego_tpu.eval.analysis import (
     correspondence_heatmaps,
     crf_kernel_fd,
+    crf_module_apply,
+    crf_pair_diffs,
     interpolated_query_path,
     label_agreement_fd,
     plot_correspondence_figure,
     plot_pr_curves,
     potsdam_mosaic,
     save_correspondence_gif,
+    train_crf_recalibrator,
 )
 
 
@@ -122,7 +125,8 @@ def pr_curves_main(argv=None):
 
     key = jax.random.PRNGKey(0)
     n_batches = min(8, len(dataset) // max(cfg.batch_size, 1))
-    outs = {"stego_fd": [], "dino_fd": [], "crf_fd": [], "ld": []}
+    outs = {"stego_fd": [], "dino_fd": [], "crf_fd": [], "ld": [],
+            "coord_diff": [], "img_diff": []}
     for b in range(max(n_batches, 1)):
         items = [dataset[i] for i in range(b * cfg.batch_size,
                                            min((b + 1) * cfg.batch_size,
@@ -141,17 +145,28 @@ def pr_curves_main(argv=None):
         _, dino_fd = label_agreement_fd(feats, label, seg.n_classes,
                                         coords1, coords2)
         crf = crf_kernel_fd(img, coords1, coords2)
+        coord_diff, img_diff = crf_pair_diffs(img, coords1, coords2)
         outs["stego_fd"].append(np.asarray(stego_fd).ravel())
         outs["dino_fd"].append(np.asarray(dino_fd).ravel())
         outs["crf_fd"].append(np.asarray(crf).ravel())
         outs["ld"].append(np.asarray(ld).ravel())
+        outs["coord_diff"].append(np.asarray(coord_diff).ravel())
+        outs["img_diff"].append(np.asarray(img_diff).ravel())
 
     cat = {k: np.concatenate(v) for k, v in outs.items()}
+    # learned CRF recalibrator: train the 6 kernel scalars against label
+    # agreement (reference LitRecalibrator/CRFModule, plot_pr_curves.py:53-67)
+    crf_params = train_crf_recalibrator(
+        jnp.asarray(cat["coord_diff"]), jnp.asarray(cat["img_diff"]),
+        jnp.asarray(cat["ld"]))
+    crf_learned = np.asarray(crf_module_apply(
+        crf_params, jnp.asarray(cat["coord_diff"]),
+        jnp.asarray(cat["img_diff"])))
     path = join(cfg.output_root, "results", "pr_curves.png")
     aps = plot_pr_curves(
         path,
         {"STEGO (Ours)": cat["stego_fd"], "DINO": cat["dino_fd"],
-         "CRF": cat["crf_fd"]},
+         "CRF": cat["crf_fd"], "CRF (learned)": crf_learned},
         cat["ld"],
     )
     print("wrote", path, aps)

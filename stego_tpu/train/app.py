@@ -165,13 +165,16 @@ def _pad_batch(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
 
 
 def run_validation(seg, val_step, backbone, params, val_loader, mesh,
-                   batch_size: int, figure_path: Optional[str] = None
+                   batch_size: int, figure_prefix: Optional[str] = None
                    ) -> Dict[str, float]:
     """Sharded validation epoch: device-side confusion matrices, host-side
     Hungarian (reference validation_step/epoch_end,
-    train_segmentation.py:254-283). When ``figure_path`` is given, also
-    renders the image/label/linear/cluster prediction panel the reference
-    logs each validation (train_segmentation.py:290-302)."""
+    train_segmentation.py:254-283). When ``figure_prefix`` is given, also
+    renders the per-validation figures the reference logs to TB: the
+    image/label/linear/cluster prediction panel (train_segmentation.py:290-302),
+    the Hungarian-matched cluster confusion-matrix heatmap (:304-330), and the
+    label/cluster frequency bar charts (:332-359), as
+    ``{prefix}panel.png`` / ``{prefix}confusion.png`` / ``{prefix}freqs.png``."""
     bs = batch_sharding(mesh)
     linear_metrics = UnsupervisedMetrics("test/linear/", seg.n_classes, 0, False)
     cluster_metrics = UnsupervisedMetrics(
@@ -195,7 +198,7 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
         out = val_step(backbone, params, dev)
         linear_metrics.merge_stats(np.asarray(out["conf_linear"]))
         cluster_metrics.merge_stats(np.asarray(out["conf_cluster"]))
-        if panel is None and figure_path is not None:
+        if panel is None and figure_prefix is not None:
             n = min(seg.cfg.n_images, len(host["img"]))
             panel = {
                 "img": host["img"][:n], "label": host["label"][:n],
@@ -205,16 +208,31 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
     metrics = {**linear_metrics.compute(), **cluster_metrics.compute()}
     if panel is not None:
         from stego_tpu.data.colormaps import colormap_for_dataset
-        from stego_tpu.utils.viz import save_comparison_grid
+        from stego_tpu.utils.viz import (
+            save_comparison_grid,
+            save_confusion_matrix,
+            save_frequency_bars,
+        )
 
+        cmap = colormap_for_dataset(seg.cfg.dataset_name)
         mapped = cluster_metrics.map_clusters(panel["cluster"])
         save_comparison_grid(
-            figure_path,
+            figure_prefix + "panel.png",
             {"Image": panel["img"], "Label": panel["label"],
              "Linear Probe": panel["linear"],
              "Cluster Probe": np.asarray(mapped)},
-            colormap_for_dataset(seg.cfg.dataset_name),
+            cmap,
         )
+        try:
+            names = get_class_labels(seg.cfg.dataset_name)[:seg.n_classes]
+        except ValueError:
+            names = [f"class {i}" for i in range(seg.n_classes)]
+        if seg.cfg.extra_clusters:
+            names = names + ["Extra"]
+        save_confusion_matrix(figure_prefix + "confusion.png",
+                              cluster_metrics.histogram, names)
+        save_frequency_bars(figure_prefix + "freqs.png",
+                            cluster_metrics.histogram, names, cmap)
     return metrics
 
 
@@ -359,8 +377,8 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             metrics_out = run_validation(
                 seg, val_step, backbone, state["params"], val_loader, mesh,
                 val_bs,
-                figure_path=(join(log_dir, f"val_panel_{step_idx + 1}.png")
-                             if primary else None),
+                figure_prefix=(join(log_dir, f"val_{step_idx + 1}_")
+                               if primary else None),
             )
             logger.log_scalars(step_idx + 1, metrics_out)
             print(f"step {step_idx + 1}: " + ", ".join(

@@ -33,7 +33,11 @@ class CheckpointManager:
             max_to_keep=max(1, save_top_k),
             best_fn=lambda metrics: metrics.get(METRIC_KEY, float("-inf")),
             best_mode="max",
-            enable_async_checkpointing=False,
+            # async saves: the host serializes/writes in a background thread
+            # while training continues (the caller hands over host arrays via
+            # device_get, so donated device buffers are never aliased by an
+            # in-flight save). close()/restore() barrier on completion.
+            enable_async_checkpointing=True,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
         self._backbone_saved = os.path.exists(
@@ -45,20 +49,28 @@ class CheckpointManager:
         if self._backbone_saved:
             return
         path = os.path.join(self.directory, "backbone")
-        ocp.StandardCheckpointer().save(path, backbone_params)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, backbone_params)
+        ckptr.wait_until_finished()
         self._backbone_saved = True
 
     def save(self, step: int, state: Dict[str, Any],
              metrics: Optional[Dict[str, float]] = None) -> None:
+        """Async: returns as soon as the save is enqueued; the write overlaps
+        subsequent training steps (round-1 blocked the step loop on every
+        save, which stalls badly on slow links)."""
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(state),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
+
+    def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 
     def restore(self, step: Optional[int] = None,
                 template: Optional[Dict[str, Any]] = None) -> Tuple[int, Any]:
+        self._mgr.wait_until_finished()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:

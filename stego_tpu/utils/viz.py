@@ -88,6 +88,45 @@ def save_comparison_grid(
     plt.close(fig)
 
 
+def save_frequency_bars(
+    path: str, histogram: np.ndarray, class_names: List[str],
+    cmap: Optional[np.ndarray] = None,
+) -> None:
+    """Label-frequency (histogram.sum(0)) and cluster-frequency
+    (histogram.sum(1)) log-scale bar charts, one figure — parity with the
+    per-validation-epoch frequency bars the reference logs to TB
+    (train_segmentation.py:332-359)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    hist = np.asarray(histogram, dtype=np.float64)
+    label_freq = hist.sum(axis=0)
+    cluster_freq = hist.sum(axis=1)
+    all_bars = np.concatenate([label_freq, cluster_freq])
+    ymin = max(all_bars.min() * 0.8, 1)
+    ymax = max(all_bars.max() * 1.2, ymin * 10)
+    fig, ax = plt.subplots(1, 2, figsize=(10, 4))
+    for a, freqs, title in ((ax[0], label_freq, "Label Frequency"),
+                            (ax[1], cluster_freq, "Cluster Frequency")):
+        names = (list(class_names)
+                 + [f"c{i}" for i in range(len(class_names), len(freqs))])
+        colors = None
+        if cmap is not None:
+            colors = [np.asarray(cmap[i % len(cmap)]) / 255.0
+                      for i in range(len(freqs))]
+        a.bar(range(len(freqs)), freqs, tick_label=names[:len(freqs)],
+              color=colors)
+        a.set_ylim(ymin, ymax)
+        a.set_title(title)
+        a.set_yscale("log")
+        a.tick_params(axis="x", labelrotation=90, labelsize=7)
+    plt.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 def save_confusion_matrix(
     path: str, histogram: np.ndarray, class_names: List[str],
     dark_mode: bool = False,

@@ -114,3 +114,47 @@ def test_train_crf_codes_discrete(tmp_path):
     imgs = rng.standard_normal((2, 12, 12, 3)).astype(np.float32)
     out = train_crf_codes(cfg, imgs, epochs=10, log_every=5)
     assert np.isfinite(out["losses"]).all()
+
+
+def test_crf_recalibrator_improves_ap():
+    """The learned CRF kernel (6 optax scalars, reference CRFModule
+    plot_pr_curves.py:53-67) must reach at least the analytic kernel's AP on
+    label agreement — here labels are spatially scrambled so the analytic
+    kernel's strong spatial prior (w2 term) hurts and learning must adapt."""
+    from stego_tpu.eval.analysis import (
+        crf_kernel_fd,
+        crf_module_apply,
+        crf_pair_diffs,
+        label_agreement_fd,
+        pr_curve_data,
+        train_crf_recalibrator,
+    )
+
+    key = jr.PRNGKey(0)
+    b, hw, s = 6, 16, 6
+    # fine-grained scrambled labels; colors correlate with labels, space
+    # does not
+    label = jr.randint(jr.fold_in(key, 1), (b, hw, hw), 0, 3)
+    palette = jnp.asarray([[1.0, -1.0, 0.0], [-1.0, 1.0, 0.5],
+                           [0.0, 0.2, -1.0]])
+    img = palette[label] + 0.05 * jr.normal(jr.fold_in(key, 2),
+                                            (b, hw, hw, 3))
+    coords1 = jr.uniform(jr.fold_in(key, 3), (b, s, s, 2), minval=-1,
+                         maxval=1)
+    coords2 = jr.uniform(jr.fold_in(key, 4), (b, s, s, 2), minval=-1,
+                         maxval=1)
+
+    ld, _ = label_agreement_fd(img, label, 3, coords1, coords2)
+    analytic = crf_kernel_fd(img, coords1, coords2)
+    coord_diff, img_diff = crf_pair_diffs(img, coords1, coords2)
+    params = train_crf_recalibrator(coord_diff, img_diff, ld, steps=250)
+    learned = crf_module_apply(params, coord_diff, img_diff)
+
+    _, _, ap_analytic = pr_curve_data(np.asarray(analytic), np.asarray(ld))
+    _, _, ap_learned = pr_curve_data(np.asarray(learned), np.asarray(ld))
+    assert np.isfinite(ap_learned)
+    assert ap_learned >= ap_analytic - 1e-3, (ap_learned, ap_analytic)
+    # the params must actually have moved
+    from stego_tpu.eval.analysis import init_crf_module
+    init = init_crf_module()
+    assert any(abs(float(params[k]) - float(init[k])) > 1e-3 for k in init)

@@ -45,3 +45,89 @@ def test_export_reimport_roundtrip(tmp_path):
     assert ckpt["state_dict"]["net.model.blocks.0.attn.qkv.weight"].shape == \
         (96, 32)
     assert ckpt["hyper_parameters"]["cfg"]["dim"] == 6
+
+
+def _tree_equal(a, b):
+    import jax
+
+    fa = jax.tree.leaves(a)
+    fb = jax.tree.leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_dino_pth_roundtrip_plain_and_teacher(tmp_path):
+    """export -> DINO-style .pth on disk -> load_dino_backbone must be
+    BITWISE: both the plain state_dict layout and the released-checkpoint
+    'teacher' dict with 'backbone.' prefixes (reference modules.py:46-58)."""
+    import torch
+
+    from stego_tpu.models.convert import load_dino_backbone
+    from stego_tpu.models.export import vit_state_dict
+    from stego_tpu.models.vit import VIT_CONFIGS
+
+    cfg = VIT_CONFIGS["vit_small"][8]
+    backbone = init_vit_params(jr.PRNGKey(0), cfg)
+    sd = vit_state_dict(backbone)
+
+    plain = str(tmp_path / "dino_plain.pth")
+    torch.save(sd, plain)
+    teacher = str(tmp_path / "dino_teacher.pth")
+    torch.save({"teacher": {"backbone." + k: v for k, v in sd.items()}},
+               teacher)
+
+    for path in (plain, teacher):
+        params, got_cfg = load_dino_backbone(path, "vit_small", 8)
+        assert got_cfg == cfg
+        _tree_equal(backbone, params)
+
+
+def test_pth_roundtrip_activations(tmp_path):
+    """Activation-level check on the tiny config: the converted params drive
+    the model to bitwise-identical features."""
+    import torch
+
+    from stego_tpu.models.convert import vit_params_from_torch
+    from stego_tpu.models.export import vit_state_dict
+    from stego_tpu.models.vit import vit_get_intermediate_feat
+
+    backbone = init_vit_params(jr.PRNGKey(3), TINY)
+    path = str(tmp_path / "tiny.pth")
+    torch.save(vit_state_dict(backbone), path)
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    params = vit_params_from_torch(sd, TINY)
+
+    img = jr.normal(jr.PRNGKey(4), (2, 16, 16, 3))
+    f1, a1, q1 = vit_get_intermediate_feat(backbone, img, TINY, n=1)
+    f2, a2, q2 = vit_get_intermediate_feat(
+        {k: jnp.asarray(v) if not isinstance(v, dict) else v
+         for k, v in params.items()}, img, TINY, n=1)
+    np.testing.assert_array_equal(np.asarray(f1[0]), np.asarray(f2[0]))
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+    np.testing.assert_array_equal(np.asarray(q1[0]), np.asarray(q2[0]))
+
+
+def test_lightning_ckpt_roundtrip_full_fields(tmp_path):
+    """decoder + train_cluster_probe survive the Lightning export->ingest
+    round trip (round-1 gap: only head/probes were asserted)."""
+    from stego_tpu.models.convert import load_stego_checkpoint
+
+    cfg = Config(dataset_name="directory", dir_dataset_name="s",
+                 dir_dataset_n_classes=3, res=16, dim=6, crop_type=None,
+                 backbone_dtype="float32", dino_patch_size=4)
+    seg = UnsupervisedSegmenter(3, cfg, vit_cfg=TINY)
+    backbone = init_vit_params(jr.PRNGKey(5), TINY)
+    params = seg.init_params(jr.PRNGKey(6))
+
+    path = str(tmp_path / "full.ckpt")
+    export_stego_checkpoint(path, cfg, backbone, params, step=3)
+    loaded = load_stego_checkpoint(path, vit_cfg=TINY)
+
+    _tree_equal(params["decoder"], loaded["decoder"])
+    _tree_equal(params["train_cluster_probe"], loaded["train_cluster_probe"])
+    _tree_equal(params["cluster_probe"], loaded["cluster_probe"])
+    _tree_equal(params["linear_probe"], loaded["linear_probe"])
+    _tree_equal(params["head"], loaded["head"])
+    _tree_equal(backbone, loaded["backbone"])
+    assert loaded["cfg_dict"]["dim"] == 6

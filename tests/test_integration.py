@@ -83,6 +83,13 @@ def test_end_to_end_knn_train_val(data_root, tmp_path):
     log_file = os.path.join(cfg.output_root, "logs", "directory_exp1",
                             "metrics.jsonl")
     assert os.path.getsize(log_file) > 0
+    # per-validation observability figures (reference logs a prediction panel,
+    # a confusion-matrix heatmap, and frequency bars to TB every val epoch —
+    # train_segmentation.py:290-359)
+    log_dir = os.path.join(cfg.output_root, "logs", "directory_exp1")
+    for suffix in ("panel", "confusion", "freqs"):
+        assert os.path.exists(os.path.join(log_dir, f"val_6_{suffix}.png")), \
+            suffix
 
 
 def test_end_to_end_pallas_loss(data_root, tmp_path):
