@@ -142,12 +142,13 @@ def _attention(
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
     scale = hd**-0.5
+    out = None
     if use_flash and not want_qkv:
         from stego_tpu.ops.flash_attention import trunk_attention
 
-        out = trunk_attention(q, k, v, scale)
+        out = trunk_attention(q, k, v, scale)  # None when einsum is faster
         attn = None
-    else:
+    if out is None:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
         # bf16 trunks materialize the (N x N) logits in bf16 — softmax (with
@@ -256,6 +257,14 @@ def vit_get_intermediate_feat(
     assert 1 <= n <= cfg.depth
     if use_flash is None:
         use_flash = False
+    # the kernel only wins for sequences that fit VMEM-resident (longer falls
+    # back to einsum inside _attention; keep the scan then for fast compiles)
+    if use_flash:
+        from stego_tpu.ops.flash_attention import RESIDENT_MAX_N
+
+        n_tok = (img.shape[1] // cfg.patch_size) * (
+            img.shape[2] // cfg.patch_size) + 1
+        use_flash = -(-n_tok // 128) * 128 <= RESIDENT_MAX_N
     # Pallas kernels inside lax.scan hit a Mosaic compile cliff (>10 min on the
     # remote-compile tunnel); an unrolled trunk with the kernel compiles in
     # ~40 s — so flash implies unroll (CLAUDE.md perf notes).

@@ -1,5 +1,6 @@
 """Multi-host support: single-process degeneration + loader sharding."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,3 +47,84 @@ def test_loader_sharding_partitions_globally():
     assert len(set(flat)) == len(flat)
     # equal lengths -> same number of steps on every host
     assert len({len(s) for s in shards}) == 1
+
+
+def test_two_process_distributed_matches_single(tmp_path):
+    """Launch 2 real jax.distributed CPU processes (1 device each) through
+    maybe_initialize_distributed, run 2 sharded train steps + a val step, and
+    assert the losses and psum'd confusion matrix equal the single-process
+    run — the initialize branch of parallel/multihost.py exercised for real
+    (round-1 gap: it was dead code in every test)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    # free port for the coordinator
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    out = str(tmp_path / "mh.json")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(pid), "2", str(port), out],
+        env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    ) for pid in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    import json
+
+    with open(out) as f:
+        multi = json.load(f)
+
+    # single-process reference with the identical construction
+    from stego_tpu.config import Config
+    from stego_tpu.models.vit import ViTConfig, init_vit_params
+    from stego_tpu.parallel.mesh import make_mesh as _mm, \
+        replicated_sharding as _rs
+    from stego_tpu.train.segmenter import (
+        UnsupervisedSegmenter,
+        make_train_step,
+        make_val_step,
+    )
+
+    tiny_vit = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                         img_size=16)
+    b = 4
+    cfg = Config(dataset_name="directory", dir_dataset_name="mh",
+                 dir_dataset_n_classes=3, res=16, dim=6, feature_samples=3,
+                 neg_samples=2, crop_type=None, backbone_dtype="float32",
+                 batch_size=b)
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=tiny_vit)
+    backbone = init_vit_params(jax.random.PRNGKey(0), tiny_vit)
+    state = seg.init_state(jax.random.PRNGKey(1))
+    mesh = _mm(2)
+    backbone = jax.device_put(backbone, _rs(mesh))
+    state = jax.device_put(state, _rs(mesh))
+    key = jax.random.PRNGKey(2)
+    batch = {
+        "img": jax.random.normal(key, (b, 16, 16, 3)),
+        "img_pos": jax.random.normal(jax.random.fold_in(key, 1),
+                                     (b, 16, 16, 3)),
+        "label": jax.random.randint(jax.random.fold_in(key, 2), (b, 16, 16),
+                                    -1, 3),
+        "label_pos": jax.random.randint(jax.random.fold_in(key, 3),
+                                        (b, 16, 16), -1, 3),
+    }
+    batch = global_batch(mesh, {k: np.asarray(v) for k, v in batch.items()})
+    step = jax.jit(make_train_step(seg))
+    losses = []
+    for i in range(2):
+        state, metrics = step(backbone, state, batch, jax.random.PRNGKey(10 + i))
+        losses.append(float(metrics["loss/total"]))
+    val = jax.jit(make_val_step(seg))(
+        backbone, state["params"], {k: batch[k] for k in ("img", "label")})
+    conf = np.asarray(val["conf_cluster"])
+
+    np.testing.assert_allclose(multi["losses"], losses, rtol=2e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(multi["conf"]), conf)
