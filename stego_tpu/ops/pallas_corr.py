@@ -22,8 +22,9 @@ the tiny (B, N) reductions finalize in plain XLA.
 ALL pair types (self, knn-pos, and the stacked batch-derangement negatives)
 run in ONE kernel launch: pairs are concatenated along the batch dimension and
 per-pair-type quantities (shift, group mean, loss cotangent) enter the
-backward kernels as per-batch-row SMEM scalars — 3 launches total
-(1 fwd + 2 bwd) per step. Measured steady-state on v5e (ViT-S/8, res 224,
+backward kernel as per-batch-row SMEM scalars — 2 launches total
+(1 fwd + 1 merged bwd that computes both code gradients from one dL/dcd
+tile recomputation) per step. Measured steady-state on v5e (ViT-S/8, res 224,
 batch 16): sampled-11x11 via this kernel matches the einsum path (~52 ms/step)
 and FULL-FIELD mode — seven dense 784x784 correspondence fields per step —
 costs only ~12 ms more (64 ms/step, 249 imgs/sec/chip).
@@ -202,8 +203,14 @@ def _coeff_tile(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref, q,
     return (-(fdp - shift) * mask * g_loss + g_cdm) * inv_m
 
 
-def _bwd_kernel_dc1(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref,
-                    dc1_ref, *, lo, hi, pointwise):
+def _bwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref,
+                dc1_ref, dc2_ref, dc2_scr, *, lo, hi, pointwise, nq, nk):
+    """ONE pass computes both code gradients: the dL/dcd tile is recomputed
+    once (round 1 ran two kernels, each recomputing the fd/cd tiles — a third
+    of the backward matmul work was redundant). dc1 accumulates in its output
+    block across the k axis; dc2 accumulates in a full-length VMEM scratch
+    (its rows are touched non-consecutively across q) and flushes on the last
+    tile of each batch row."""
     q = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -211,27 +218,23 @@ def _bwd_kernel_dc1(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref,
     def _():
         dc1_ref[...] = jnp.zeros_like(dc1_ref)
 
+    @pl.when((q == 0) & (k == 0))
+    def _():
+        dc2_scr[...] = jnp.zeros_like(dc2_scr)
+
     coeff = _coeff_tile(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref, q,
                         lo, hi, pointwise)
     dc1_ref[0] += jnp.dot(coeff, c2_ref[0],
                           preferred_element_type=jnp.float32)
-
-
-def _bwd_kernel_dc2(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref,
-                    dc2_ref, *, lo, hi, pointwise):
-    q = pl.program_id(2)
-
-    @pl.when(q == 0)
-    def _():
-        dc2_ref[...] = jnp.zeros_like(dc2_ref)
-
-    coeff = _coeff_tile(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref, q,
-                        lo, hi, pointwise)
     # dc2_j += Σ_i coeff_ij * c1_i  — contract over the row dimension
-    dc2_ref[0] += jax.lax.dot_general(
+    dc2_scr[pl.ds(k * TK, TK)] += jax.lax.dot_general(
         coeff, c1_ref[0], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+    @pl.when((q == nq - 1) & (k == nk - 1))
+    def _():
+        dc2_ref[0] = dc2_scr[...]
 
 
 def _run_bwd(f1, f2, c1, c2, rowmean, scalars, st: _Static):
@@ -240,45 +243,32 @@ def _run_bwd(f1, f2, c1, c2, rowmean, scalars, st: _Static):
     nq, nk = n_pad // TQ, n_pad // TK
     lo, hi = _clamp_bounds(st)
 
-    def specs(order):
-        if order == "qk":  # grid (b, q, k)
-            row = lambda b, q, k: (b, q, 0)
-            col = lambda b, q, k: (b, k, 0)
-            rm = lambda b, q, k: (b, 0, 0)
-            sc = lambda b, q, k: (b, 0, 0)
-        else:  # grid (b, k, q)
-            row = lambda b, k, q: (b, q, 0)
-            col = lambda b, k, q: (b, k, 0)
-            rm = lambda b, k, q: (b, 0, 0)
-            sc = lambda b, k, q: (b, 0, 0)
-        return [
-            pl.BlockSpec((1, TQ, cf), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, cf), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, cc), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, cc), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), rm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8), sc, memory_space=pltpu.SMEM),
-        ]
+    row = lambda b, q, k: (b, q, 0)
+    col = lambda b, q, k: (b, k, 0)
+    whole = lambda b, q, k: (b, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, TQ, cf), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TK, cf), col, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TQ, cc), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TK, cc), col, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), whole, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8), whole, memory_space=pltpu.SMEM),
+    ]
 
-    dc1 = pl.pallas_call(
-        functools.partial(_bwd_kernel_dc1, lo=lo, hi=hi,
-                          pointwise=st.pointwise),
+    dc1, dc2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, lo=lo, hi=hi, pointwise=st.pointwise,
+                          nq=nq, nk=nk),
         grid=(b, nq, nk),
-        in_specs=specs("qk"),
-        out_specs=pl.BlockSpec((1, TQ, cc), lambda b, q, k: (b, q, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
-        interpret=st.interpret,
-    )(f1, f2, c1, c2, rowmean, scalars)
-
-    dc2 = pl.pallas_call(
-        functools.partial(_bwd_kernel_dc2, lo=lo, hi=hi,
-                          pointwise=st.pointwise),
-        grid=(b, nk, nq),
-        in_specs=specs("kq"),
-        out_specs=pl.BlockSpec((1, TK, cc), lambda b, k, q: (b, k, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, TQ, cc), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, cc), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_pad, cc), jnp.float32)],
         interpret=st.interpret,
     )(f1, f2, c1, c2, rowmean, scalars)
     return dc1, dc2
@@ -406,11 +396,15 @@ def contrastive_correlation_loss_fused(
     orig_salience_pos: jnp.ndarray | None = None,
     full_field: bool = False,
     interpret: bool | None = None,
+    return_cd_tensors: bool = False,
 ):
     """Three-pair contrastive loss through the fused kernel.
 
     Drop-in for :func:`stego_tpu.ops.correlation.contrastive_correlation_loss`
-    with scalar cd outputs (no cd tensors — the train step only logs means).
+    with scalar cd outputs by default. ``return_cd_tensors=True`` (sampled
+    mode only) additionally computes the three cd tensors with cheap einsums
+    on the already-sampled values — full histogram observability at ~0.1 ms,
+    while the loss/grads still run through the fused kernel.
     ``full_field=True`` skips coordinate sampling and runs the loss over the
     complete (HW x HW) correspondence field — the reference's 11x11 subsampled
     loss becomes the exact dense objective. All pair types (self, knn-pos,
@@ -475,7 +469,7 @@ def contrastive_correlation_loss_fused(
     )
     zero = jnp.zeros((), jnp.float32)
     has_neg = cfg.neg_samples > 0
-    return {
+    out = {
         "pos_intra_loss": losses[0],
         "pos_intra_cd": cd_means[0],
         "pos_inter_loss": losses[1],
@@ -483,3 +477,15 @@ def contrastive_correlation_loss_fused(
         "neg_inter_loss": losses[2] if has_neg else zero,
         "neg_inter_cd": cd_means[2] if has_neg else zero,
     }
+    if return_cd_tensors and not full_field:
+        from stego_tpu.ops.math import l2_normalize, tensor_correlation
+
+        def cd_of(c1, c2):
+            return jax.lax.stop_gradient(
+                tensor_correlation(l2_normalize(c1), l2_normalize(c2)))
+
+        out["pos_intra_cd"] = cd_of(code, code)
+        out["pos_inter_cd"] = cd_of(code, code_pos)
+        if has_neg:
+            out["neg_inter_cd"] = cd_of(jnp.tile(code, reps), code_neg)
+    return out

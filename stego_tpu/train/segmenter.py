@@ -165,6 +165,7 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
         out = contrastive_correlation_loss_fused(
             seg.corr_cfg, key, signal, signal_pos, code, code_pos,
             salience, salience_pos, full_field=cfg.full_field_loss,
+            return_cd_tensors=not cfg.full_field_loss,
         )
     else:
         out = contrastive_correlation_loss(

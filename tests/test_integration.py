@@ -92,11 +92,13 @@ def test_end_to_end_knn_train_val(data_root, tmp_path):
             suffix
 
 
-def test_end_to_end_pallas_loss(data_root, tmp_path):
-    """Train via the fused Pallas loss (interpret mode on CPU) end to end."""
-    cfg = make_cfg(data_root, tmp_path, use_pallas_loss=True, max_steps=4,
+def test_end_to_end_einsum_loss(data_root, tmp_path):
+    """Train via the einsum-oracle loss end to end (the fused Pallas loss is
+    the default as of round 2; this keeps the oracle path integration-covered).
+    """
+    cfg = make_cfg(data_root, tmp_path, use_pallas_loss=False, max_steps=4,
                    val_freq=4, checkpoint_freq=4,
-                   experiment_name="pallas_e2e")
+                   experiment_name="einsum_e2e")
     precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
                     vit_cfg=TINY_VIT, res=16, batch_size=8)
     metrics = train(cfg, vit_cfg=TINY_VIT)
