@@ -138,6 +138,10 @@ class Config:
     checkify: bool = False
     # checkpointing
     save_top_k: int = 2
+    # resume=true restores the latest orbax step from the run's checkpoint dir
+    # and continues training from there (the reference relies on manual
+    # Lightning restarts; SURVEY.md §5 failure recovery)
+    resume: bool = False
     # profiling trace dir ("" = disabled)
     profile_dir: str = ""
     # validation resolution (reference hard-codes 320, train_segmentation.py:446)

@@ -311,6 +311,26 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
 
     mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k) \
         if primary else None
+
+    start_step = 0
+    if cfg.resume:
+        # every process restores (checkpoints live on a shared FS on pods);
+        # PRNG folding is keyed by the absolute step index, so the resumed
+        # run continues the exact key sequence. The input stream restarts at
+        # its epoch seed (same as a Lightning restart without loader state).
+        rmgr = mgr or CheckpointManager(ckpt_dir, cfg,
+                                        save_top_k=cfg.save_top_k)
+        try:
+            start_step, restored = rmgr.restore(
+                template=jax.device_get(state))
+            state = jax.device_put(restored, rs)
+            print(f"resumed from checkpoint step {start_step}")
+        except FileNotFoundError:
+            print(f"resume=true but no checkpoints in {ckpt_dir}; "
+                  "starting fresh")
+        finally:
+            if rmgr is not mgr:
+                rmgr.close()
     if mgr:
         mgr.save_backbone(backbone)
 
@@ -328,7 +348,7 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     t0 = time.time()
     imgs_seen = 0
     profiling = False
-    for step_idx in range(cfg.max_steps):
+    for step_idx in range(start_step, cfg.max_steps):
         # profiler trace hooks (SURVEY.md §5): capture steps 10-20 when enabled
         if cfg.profile_dir and step_idx == 10:
             jax.profiler.start_trace(cfg.profile_dir)

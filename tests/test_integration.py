@@ -104,3 +104,31 @@ def test_end_to_end_einsum_loss(data_root, tmp_path):
     metrics = train(cfg, vit_cfg=TINY_VIT)
     for v in metrics.values():
         assert np.isfinite(v)
+
+
+def test_resume_from_checkpoint(data_root, tmp_path):
+    """resume=true restores the latest orbax step and continues training from
+    there (SURVEY.md §5 checkpoint/resume)."""
+    from stego_tpu.train.checkpoint import CheckpointManager
+
+    cfg = make_cfg(data_root, tmp_path, max_steps=4, val_freq=4,
+                   checkpoint_freq=2, experiment_name="resume_e2e")
+    precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
+                    vit_cfg=TINY_VIT, res=16, batch_size=8)
+    train(cfg, vit_cfg=TINY_VIT)
+    ckpt_dir = os.path.join(cfg.output_root, "checkpoints",
+                            "directory_resume_e2e")
+    mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k)
+    steps_before = set(mgr.all_steps())
+    mgr.close()
+    assert 4 in steps_before
+
+    cfg2 = make_cfg(data_root, tmp_path, max_steps=6, val_freq=6,
+                    checkpoint_freq=6, experiment_name="resume_e2e",
+                    resume=True)
+    metrics = train(cfg2, vit_cfg=TINY_VIT)
+    for v in metrics.values():
+        assert np.isfinite(v)
+    mgr = CheckpointManager(ckpt_dir, cfg2, save_top_k=cfg2.save_top_k)
+    assert 6 in set(mgr.all_steps())  # continued 4 -> 6, saved at 6
+    mgr.close()
