@@ -139,9 +139,9 @@ def _attention(
     b, n, d = x.shape
     hd = d // num_heads
     qkv = x @ p["qkv_kernel"].astype(x.dtype) + p["qkv_bias"].astype(x.dtype)
+    scale = hd**-0.5
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
-    scale = hd**-0.5
     out = None
     if use_flash and not want_qkv:
         from stego_tpu.ops.flash_attention import trunk_attention

@@ -241,3 +241,80 @@ def trunk_attention(q, k, v, scale):
     if n_pad <= RESIDENT_MAX_N:
         return batch_resident_attention(q, k, v, scale)
     return None
+
+
+def _packed_kernel(qkv_ref, o_ref, *, scale):
+    """Two heads per grid step from a token-major packed-qkv block.
+
+    The block arrives as (N, 3, 128): q/k/v stacked on the middle axis, one
+    head PAIR on the 128-lane axis (head_dim 64). Static 64-lane half-slices
+    split the pair; each head runs the same max-subtracted softmax math as
+    :func:`_batch_resident_kernel`. Both heads' outputs are written back as
+    one 128-lane block, so the surrounding program never materializes a
+    head-major (B, H, N, d) relayout of qkv OR of the attention output —
+    the kernel reads the qkv projection's natural (B, N, 3, H*d) reshape and
+    writes the (B, N, H*d) layout the output projection consumes.
+
+    MEASURED SLOWER than :func:`batch_resident_attention` + XLA relayouts on
+    v5e (ViT-S/8 res-224 b=32 trunk fwd: 29.2 vs 21.5 ms): the strided
+    (N, 3, 128)-of-(N, 3, 384) block DMA and the in-register 64-lane
+    half-slices cost more than the head-major transposes they avoid. Kept as
+    a tested reference point for layout experiments; not dispatched."""
+    blk = qkv_ref[0]  # (N, 3, 128)
+    q = blk[:, 0, :] * jnp.asarray(scale, blk.dtype)
+    k = blk[:, 1, :]
+    v = blk[:, 2, :]
+
+    def one_head(qh, kh, vh):
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (o / l).astype(o_ref.dtype)
+
+    o0 = one_head(q[:, :64], k[:, :64], v[:, :64])
+    o1 = one_head(q[:, 64:], k[:, 64:], v[:, 64:])
+    o_ref[0] = jnp.concatenate([o0, o1], axis=1)
+
+
+def packed_attention(
+    qkv: jnp.ndarray, num_heads: int, scale: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Attention straight from the packed qkv projection output.
+
+    Args:
+      qkv: (B, N, 3, H*d) — a pure reshape of the qkv linear's (B, N, 3*H*d)
+        output (feature order [q|k|v] x [head] x [dim], torch DINO layout).
+      num_heads: H; head_dim must be 64 and H even (ViT-S/-B; vit_tiny's
+        H=3 falls back to :func:`batch_resident_attention` upstream).
+    Returns: (B, N, H*d) attention output, token-major. Forward-only.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n, three, hd = qkv.shape
+    assert three == 3 and hd % num_heads == 0
+    d = hd // num_heads
+    assert d == 64 and num_heads % 2 == 0, "packed kernel needs d=64, even H"
+    n_pairs = num_heads // 2
+
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale),
+        grid=(b, n_pairs),
+        in_specs=[
+            pl.BlockSpec((1, n, 3, 128), lambda i, p: (i, 0, 0, p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, 128), lambda i, p: (i, 0, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+        interpret=bool(interpret),
+    )(qkv)
+    return jax.lax.stop_gradient(out)

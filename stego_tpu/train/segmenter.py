@@ -38,6 +38,7 @@ from stego_tpu.ops.correlation import CorrLossCfg, contrastive_correlation_loss
 from stego_tpu.ops.crf_loss import CRFLossCfg, contrastive_crf_loss
 from stego_tpu.ops.interp import interpolate
 from stego_tpu.ops.math import l2_normalize, one_hot_feats
+from stego_tpu.ops.probe_ce import upsampled_masked_cross_entropy
 from stego_tpu.ops.sampling import sample_from_coords
 from stego_tpu.utils.metrics import update_conf_matrix
 
@@ -309,16 +310,15 @@ def make_train_step(seg: UnsupervisedSegmenter):
 
             linear_logits = linear_probe_logits(trainable["linear_probe"],
                                                 detached_code)
-            # Upsample the probe logits (28^2 -> label res, reference
-            # train_segmentation.py:210-218) in bf16: the (B, res, res, C)
-            # f32 tensor + its backward dominate the probe cost (~1.5 ms/step
-            # measured); bf16 halves the traffic and only quantizes an
-            # auxiliary probe's logits. CE stays in f32.
-            linear_logits = interpolate(linear_logits.astype(jnp.bfloat16),
-                                        label.shape[1:3],
-                                        "bilinear", align_corners=False)
-            linear_loss = masked_cross_entropy(
-                linear_logits.astype(jnp.float32), label, seg.n_classes)
+            # Fused channel-major upsample+CE (reference
+            # train_segmentation.py:210-218): the naive NHWC chain was ~12 ms
+            # of the step — the ~27-class lane axis pads to 128 on every
+            # (B, res, res, C) pass (ops/probe_ce.py). bf16 upsample traffic
+            # for bf16 trunks; f32 trunks keep exact parity.
+            ce_dtype = (jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
+                        else jnp.float32)
+            linear_loss = upsampled_masked_cross_entropy(
+                linear_logits, label, seg.n_classes, compute_dtype=ce_dtype)
             loss = loss + linear_loss
             metrics["loss/linear"] = linear_loss
 

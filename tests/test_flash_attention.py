@@ -57,3 +57,41 @@ def test_resident_attention_matches_standard():
     got = resident_attention(q, k, v, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_packed_attention_matches_standard():
+    """Packed token-major kernel (qkv in (B, N, 3, H*d), two heads per grid
+    step) must match the head-major einsum oracle."""
+    from stego_tpu.ops.flash_attention import packed_attention
+
+    b, h, n, d = 2, 4, 150, 64
+    q = jr.normal(jr.PRNGKey(0), (b, h, n, d))
+    k = jr.normal(jr.PRNGKey(1), (b, h, n, d))
+    v = jr.normal(jr.PRNGKey(2), (b, h, n, d))
+    scale = d**-0.5
+    want = standard(q, k, v, scale)  # (b, h, n, d)
+    # pack in DINO qkv-projection layout: [q|k|v] x [head] x [dim]
+    packed = jnp.stack(
+        [t.transpose(0, 2, 1, 3).reshape(b, n, h * d) for t in (q, k, v)],
+        axis=2,
+    )  # (b, n, 3, h*d)
+    got = packed_attention(packed, h, scale, interpret=True)
+    want_tok = want.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_tok),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_vit_packed_flash_equals_standard():
+    """ViT with head_dim=64 and even heads routes the trunk through the
+    packed kernel; features must match the einsum trunk."""
+    from stego_tpu.models.vit import ViTConfig, init_vit_params, \
+        vit_get_intermediate_feat
+
+    cfg = ViTConfig(patch_size=4, embed_dim=128, depth=2, num_heads=2,
+                    img_size=16)
+    params = init_vit_params(jr.PRNGKey(0), cfg)
+    img = jr.normal(jr.PRNGKey(1), (2, 16, 16, 3))
+    f_std, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=False)
+    f_pack, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=True)
+    np.testing.assert_allclose(np.asarray(f_pack[0]), np.asarray(f_std[0]),
+                               rtol=1e-4, atol=1e-5)

@@ -196,3 +196,64 @@ def test_val_step_sharded_matches_single(cpu_devices):
                                   np.asarray(out8["conf_cluster"]))
     np.testing.assert_array_equal(np.asarray(out1["conf_linear"]),
                                   np.asarray(out8["conf_linear"]))
+
+
+def test_upsampled_masked_ce_matches_torch_and_composition():
+    """The fused channel-major upsample+CE (ops/probe_ce.py) must equal both
+    the torch oracle (F.interpolate bilinear + F.cross_entropy ignore_index,
+    reference train_segmentation.py:210-218) and the previous
+    interpolate-then-masked_cross_entropy composition, in f32."""
+    import torch
+
+    from stego_tpu.ops.interp import interpolate
+    from stego_tpu.ops.probe_ce import upsampled_masked_cross_entropy
+
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((2, 7, 7, 5), dtype=np.float32)
+    labels = rng.integers(-1, 5, (2, 28, 28))
+
+    up_t = torch.nn.functional.interpolate(
+        torch.from_numpy(logits).permute(0, 3, 1, 2), size=(28, 28),
+        mode="bilinear", align_corners=False,
+    )
+    want = torch.nn.functional.cross_entropy(
+        up_t, torch.from_numpy(labels), ignore_index=-1,
+    ).item()
+
+    got = float(upsampled_masked_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), 5,
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    composed = float(masked_cross_entropy(
+        interpolate(jnp.asarray(logits), 28, "bilinear", align_corners=False),
+        jnp.asarray(labels), 5))
+    np.testing.assert_allclose(got, composed, rtol=1e-5)
+
+    # same-resolution fast path (no upsample) degenerates to plain masked CE
+    labels_small = rng.integers(-1, 5, (2, 7, 7))
+    got_same = float(upsampled_masked_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels_small), 5,
+        compute_dtype=jnp.float32))
+    plain = float(masked_cross_entropy(jnp.asarray(logits),
+                                       jnp.asarray(labels_small), 5))
+    np.testing.assert_allclose(got_same, plain, rtol=1e-5)
+
+
+def test_upsampled_masked_ce_grad_matches_composition():
+    """Gradients w.r.t. the code-res logits must match the composition path
+    (the train step optimizes the linear probe through this op)."""
+    from stego_tpu.ops.interp import interpolate
+    from stego_tpu.ops.probe_ce import upsampled_masked_cross_entropy
+
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.standard_normal((2, 5, 5, 4), dtype=np.float32))
+    labels = jnp.asarray(rng.integers(-1, 4, (2, 15, 15)))
+
+    g_fused = jax.grad(lambda z: upsampled_masked_cross_entropy(
+        z, labels, 4, compute_dtype=jnp.float32))(logits)
+    g_comp = jax.grad(lambda z: masked_cross_entropy(
+        interpolate(z, 15, "bilinear", align_corners=False), labels, 4)
+    )(logits)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_comp),
+                               rtol=1e-4, atol=1e-6)
