@@ -157,6 +157,11 @@ class Config:
     # decode ~46 imgs/s vs ~300 consumed by the chip). Only valid when the
     # base transform is deterministic per index (loader_crop_type != random).
     cache_dataset: bool = False
+    # persist decoded+transformed items as uint8 .npz under this directory
+    # (survives process restarts: the crop/knn/train/eval stages otherwise
+    # re-decode everything; see data/loader.py:DiskCachedDataset). Same
+    # determinism requirement as cache_dataset. Empty = off.
+    cache_dataset_dir: str = ""
 
     def __post_init__(self):
         if self.arch not in ("dino", "feature-pyramid"):

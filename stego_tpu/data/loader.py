@@ -154,6 +154,102 @@ class CachedDataset:
         return hit
 
 
+class DiskCachedDataset:
+    """On-disk ``.npz`` cache of a deterministic inner dataset's items.
+
+    Complements :class:`CachedDataset` (RAM): survives process restarts — the
+    crop -> precompute_knns -> train -> eval pipeline otherwise re-decodes the
+    same images in every stage — and covers datasets larger than RAM.
+    Normalized float32 images are stored uint8 via exact inverse-normalization
+    (NEAREST-resized uint8 sources round-trip bit-exactly; same rationale as
+    :func:`compact_batch`), int64 labels as int16 — ~16x smaller than raw f32
+    pickles. A ``meta.json`` signature (dataset class, length, item structure)
+    guards against reusing a stale cache for a different configuration.
+
+    Only wrap datasets whose ``__getitem__`` is deterministic per index
+    (center/five-crop trees; NOT loader_crop_type="random").
+    """
+
+    def __init__(self, dataset, cache_dir: str, signature: dict | None = None):
+        import json
+        import os
+
+        self.dataset = dataset
+        self.cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        sig = {"cls": type(dataset).__name__, "len": len(dataset)}
+        sig.update(signature or {})
+        meta_path = os.path.join(cache_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+            if old != sig:
+                raise ValueError(
+                    f"disk cache at {cache_dir} was built for {old}, "
+                    f"current dataset is {sig}; delete the cache dir or "
+                    "point cache_dataset_dir elsewhere"
+                )
+        else:
+            with open(meta_path, "w") as f:
+                json.dump(sig, f)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def _path(self, index: int) -> str:
+        import os
+
+        return os.path.join(self.cache_dir, f"{index:08d}.npz")
+
+    def __getitem__(self, index):
+        import os
+
+        path = self._path(index)
+        if os.path.exists(path):
+            with np.load(path, allow_pickle=False) as z:
+                return tuple(
+                    _decompact_item(z[f"a{i}"], z[f"t{i}"].item())
+                    for i in range(int(z["n"]))
+                )
+        item = tuple(self.dataset[index])
+        arrays = {"n": np.int64(len(item))}
+        for i, v in enumerate(item):
+            arrays[f"a{i}"], arrays[f"t{i}"] = _compact_item(np.asarray(v))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: savez won't append ".npz"
+            np.savez(f, **arrays)
+        os.replace(tmp, path)  # atomic: concurrent readers never see partials
+        return item
+
+
+def _compact_item(v: np.ndarray):
+    """(array, tag) — uint8 for normalized RGB (exact inverse-normalization),
+    int16 for labels, pass-through otherwise."""
+    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    if v.dtype == np.float32 and v.ndim == 3 and v.shape[-1] == 3:
+        raw = v * IMAGENET_STD + IMAGENET_MEAN
+        q = np.clip(np.rint(raw * 255.0), 0, 255).astype(np.uint8)
+        return q, "norm_u8"
+    if v.dtype == np.int64:
+        return v.astype(np.int16), "i16"
+    return v, "raw"
+
+
+def _decompact_item(v: np.ndarray, tag: str) -> np.ndarray:
+    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    if tag == "norm_u8":
+        return ((v.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                / IMAGENET_STD).astype(np.float32)
+    if tag == "i16":
+        return v.astype(np.int64)
+    return v
+
+
 # ImageNet-normalized image keys travel as uint8: the host pipeline's NEAREST
 # resize preserves the original uint8 pixel values, so inverting the
 # normalization and re-quantizing is EXACT for the main image path (and

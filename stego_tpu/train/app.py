@@ -117,10 +117,24 @@ def make_datasets(cfg: Config):
         pos_labels=cfg.correspondence_weight > 0,
         seed=cfg.seed,
     )
-    if cfg.cache_dataset:
+    if cfg.cache_dataset or cfg.cache_dataset_dir:
         if cfg.loader_crop_type == "random":
             raise ValueError("cache_dataset requires a deterministic "
                              "loader_crop_type (not 'random')")
+    if cfg.cache_dataset_dir:
+        from stego_tpu.data.loader import DiskCachedDataset
+
+        nice = cfg.dir_dataset_name if cfg.dataset_name == "directory" \
+            else cfg.dataset_name
+        train_dataset.dataset = DiskCachedDataset(
+            train_dataset.dataset,
+            join(cfg.cache_dataset_dir,
+                 f"{nice}_train_{cfg.crop_type}_{cfg.res}"),
+            signature={"res": cfg.res, "crop_type": str(cfg.crop_type),
+                       "image_set": "train",
+                       "loader_crop": str(cfg.loader_crop_type)},
+        )
+    if cfg.cache_dataset:
         from stego_tpu.data.loader import CachedDataset
 
         train_dataset.dataset = CachedDataset(train_dataset.dataset)

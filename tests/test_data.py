@@ -226,3 +226,42 @@ def test_compact_batch_roundtrip():
     # identity for non-compacted f32 input
     passthrough = restore_dtypes({"img": jnp.asarray(img)})
     np.testing.assert_array_equal(np.asarray(passthrough["img"]), img)
+
+
+def test_disk_cached_dataset(synthetic_dir, tmp_path):
+    """Round-trip exactness of the on-disk item cache: NEAREST-resized
+    normalized uint8 sources and int64 labels must come back bit-identical;
+    a second (fresh) wrapper must serve from disk without touching the inner
+    dataset; a mismatched signature must be rejected."""
+    from stego_tpu.data.loader import DiskCachedDataset
+
+    ds = DirectoryDataset(
+        synthetic_dir, "synth", "train",
+        get_transform(16, False, "center"), get_transform(16, True, "center"),
+    )
+    cache_dir = str(tmp_path / "cache")
+    cached = DiskCachedDataset(ds, cache_dir, signature={"res": 16})
+    want = ds[2]
+    got = cached[2]  # populates the cache
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+    class Boom:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            raise AssertionError("inner dataset touched on a cache hit")
+
+    cached2 = DiskCachedDataset(Boom(), cache_dir,
+                                signature={"res": 16,
+                                           "cls": "DirectoryDataset",
+                                           "len": len(ds)})
+    got2 = cached2[2]
+    for w, g in zip(want, got2):
+        w, g = np.asarray(w), np.asarray(g)
+        assert w.dtype == g.dtype and w.shape == g.shape
+        np.testing.assert_array_equal(w, g)  # exact uint8/int16 round trip
+
+    with pytest.raises(ValueError, match="stale|was built for"):
+        DiskCachedDataset(ds, cache_dir, signature={"res": 32})
