@@ -257,14 +257,6 @@ def vit_get_intermediate_feat(
     assert 1 <= n <= cfg.depth
     if use_flash is None:
         use_flash = False
-    # the kernel only wins for sequences that fit VMEM-resident (longer falls
-    # back to einsum inside _attention; keep the scan then for fast compiles)
-    if use_flash:
-        from stego_tpu.ops.flash_attention import RESIDENT_MAX_N
-
-        n_tok = (img.shape[1] // cfg.patch_size) * (
-            img.shape[2] // cfg.patch_size) + 1
-        use_flash = -(-n_tok // 128) * 128 <= RESIDENT_MAX_N
     # Pallas kernels inside lax.scan hit a Mosaic compile cliff (>10 min on the
     # remote-compile tunnel); an unrolled trunk with the kernel compiles in
     # ~40 s — so flash implies unroll (CLAUDE.md perf notes).

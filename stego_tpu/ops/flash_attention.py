@@ -230,17 +230,91 @@ def batch_resident_attention(
     return jax.lax.stop_gradient(out)
 
 
+def _kv_resident_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_real):
+    """One query tile against the WHOLE key/value sequence.
+
+    K and V for one (batch, head) stay resident in VMEM (their BlockSpec
+    index is constant across the query-tile axis, so Mosaic DMAs them once);
+    each grid step computes a full (TQ_KV, N) logits row in one shot — plain
+    softmax, no online rescaling, no per-128x128-tile revisits (the earlier
+    streaming kernel's 30k tiny grid steps were overhead-bound: 3.4x slower
+    than einsum at N=3137)."""
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_real, s, NEG_BIG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+TQ_KV = 512  # query rows per grid step in the kv-resident kernel
+
+
+def kv_resident_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Long-sequence attention with K/V resident in VMEM (res-448 regime).
+
+    At N=3137 (448-res ViT-S/8, reference Colab-demo footprint) the einsum
+    path writes+reads ~945 MB of N^2 logits per layer; here the only HBM
+    traffic is q/o tiles plus one K/V fetch per (batch, head)
+    (~0.8 MB bf16). VMEM per step: K+V ~0.8 MB + a (512, N_pad) f32 logits
+    tile (~6.6 MB at N=3200). Forward-only (frozen trunk).
+
+    Measured on v5e (ViT-S/8 bf16, res 448, b=8): 12-layer trunk fwd
+    63.6 ms (einsum) -> 41.9 ms, and the unrolled-kernel trunk compiles in
+    ~9 s where the einsum-in-scan trunk takes ~280 s cold."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, n, d = q.shape
+    bh = b * h
+    nq_pad = -(-n // TQ_KV) * TQ_KV
+    nk_pad = -(-n // 128) * 128
+
+    def prep(t, n_pad):
+        t = t.reshape(bh, n, d)
+        return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qp = prep(q, nq_pad)
+    kp, vp = prep(k, nk_pad), prep(v, nk_pad)
+    out = pl.pallas_call(
+        functools.partial(_kv_resident_kernel, scale=scale, n_real=n),
+        grid=(bh, nq_pad // TQ_KV),
+        in_specs=[
+            pl.BlockSpec((1, TQ_KV, d), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ_KV, d), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), v.dtype),
+        interpret=bool(interpret),
+    )(qp, kp, vp)
+    out = out[:, :n, :].reshape(b, h, n, d)
+    return jax.lax.stop_gradient(out)
+
+
 def trunk_attention(q, k, v, scale):
     """Best forward-only attention for the frozen trunk: the VMEM-resident
-    kernel when the sequence fits, else ``None`` (caller falls back to the
-    XLA einsum path — measured at N=3137/res-448 the 128x128-tiled streaming
-    kernel is 3.4x SLOWER than einsum (217 vs 64 ms for the 12-layer trunk
-    fwd, b=8 v5e) and compiles ~4 min; einsum is HBM-bound but near its
-    roofline there)."""
+    kernel when the whole (N x N) logits tile fits, the kv-resident kernel
+    for longer sequences (res-448: measured vs einsum below)."""
     n_pad = -(-q.shape[2] // 128) * 128
     if n_pad <= RESIDENT_MAX_N:
         return batch_resident_attention(q, k, v, scale)
-    return None
+    return kv_resident_attention(q, k, v, scale)
 
 
 def _packed_kernel(qkv_ref, o_ref, *, scale):

@@ -95,3 +95,21 @@ def test_vit_packed_flash_equals_standard():
     f_pack, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=True)
     np.testing.assert_allclose(np.asarray(f_pack[0]), np.asarray(f_std[0]),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [100, 600])
+def test_kv_resident_matches_standard(n):
+    """kv-resident kernel (whole K/V per (b,h) in VMEM, 512-row query tiles)
+    vs einsum oracle, incl. n smaller than one query tile and n needing
+    row/col padding."""
+    from stego_tpu.ops.flash_attention import kv_resident_attention
+
+    b, h, d = 2, 2, 64
+    q = jr.normal(jr.PRNGKey(0), (b, h, n, d))
+    k = jr.normal(jr.PRNGKey(1), (b, h, n, d))
+    v = jr.normal(jr.PRNGKey(2), (b, h, n, d))
+    scale = d**-0.5
+    want = standard(q, k, v, scale)
+    got = kv_resident_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
