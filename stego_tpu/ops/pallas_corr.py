@@ -319,10 +319,10 @@ _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 # public API
 
 
-def _prep(t: jnp.ndarray) -> jnp.ndarray:
+def _prep(t: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     b, n = t.shape[0], t.shape[1] * t.shape[2]
     t = t.reshape(b, n, t.shape[-1]).astype(jnp.float32)
-    t = l2_normalize(t, axis=-1)
+    t = l2_normalize(t, axis=-1).astype(dtype)
     t = _pad_axis(t, TQ, axis=1)
     return _pad_axis(t, 128, axis=2)
 
@@ -334,6 +334,7 @@ def fused_correlation_loss_multi(
     zero_clamp: bool = True,
     stabalize: bool = False,
     interpret: bool | None = None,
+    feat_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All pair types in ONE kernel launch.
 
@@ -341,6 +342,11 @@ def fused_correlation_loss_multi(
       pairs: sequence of (f1, f2, c1, c2) NHWC tuples, one per pair type; all
         spatial sizes must match (batch sizes may differ).
       shifts: per-pair-type loss shift.
+      feat_dtype: storage/matmul dtype for the FEATURE side (fd is
+        stop-gradient; bfloat16 doubles the fd dot throughput and halves the
+        stacked-pair prep traffic — appropriate when the features already
+        come from a bf16 trunk). The code side (gradient-carrying cd dots)
+        always stays float32.
     Returns:
       (losses (G,), cd_means (G,)) — per pair type, each equal to the einsum
       oracle's ``loss.mean()`` / ``cd.mean()`` for that pair.
@@ -351,9 +357,9 @@ def fused_correlation_loss_multi(
     group_sizes = tuple(p[0].shape[0] for p in pairs)
 
     f1 = jax.lax.stop_gradient(
-        jnp.concatenate([_prep(p[0]) for p in pairs], axis=0))
+        jnp.concatenate([_prep(p[0], feat_dtype) for p in pairs], axis=0))
     f2 = jax.lax.stop_gradient(
-        jnp.concatenate([_prep(p[1]) for p in pairs], axis=0))
+        jnp.concatenate([_prep(p[1], feat_dtype) for p in pairs], axis=0))
     c1 = jnp.concatenate([_prep(p[2]) for p in pairs], axis=0)
     c2 = jnp.concatenate([_prep(p[3]) for p in pairs], axis=0)
 
@@ -397,6 +403,7 @@ def contrastive_correlation_loss_fused(
     full_field: bool = False,
     interpret: bool | None = None,
     return_cd_tensors: bool = False,
+    feat_dtype=jnp.float32,
 ):
     """Three-pair contrastive loss through the fused kernel.
 
@@ -465,7 +472,7 @@ def contrastive_correlation_loss_fused(
 
     losses, cd_means = fused_correlation_loss_multi(
         pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
-        stabalize=cfg.stabalize, interpret=interpret,
+        stabalize=cfg.stabalize, interpret=interpret, feat_dtype=feat_dtype,
     )
     zero = jnp.zeros((), jnp.float32)
     has_neg = cfg.neg_samples > 0

@@ -167,6 +167,10 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
             seg.corr_cfg, key, signal, signal_pos, code, code_pos,
             salience, salience_pos, full_field=cfg.full_field_loss,
             return_cd_tensors=not cfg.full_field_loss,
+            # feature-side (stop-grad) tiles in bf16 when the features come
+            # from a bf16 trunk anyway; code-side dots stay f32 for grads
+            feat_dtype=(jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
+                        else jnp.float32),
         )
     else:
         out = contrastive_correlation_loss(

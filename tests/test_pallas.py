@@ -11,7 +11,8 @@ import numpy as np
 import pytest
 
 from stego_tpu.ops.correlation import CorrLossCfg, corr_loss_helper
-from stego_tpu.ops.pallas_corr import fused_correlation_loss
+from stego_tpu.ops.pallas_corr import (fused_correlation_loss,
+                                        fused_correlation_loss_multi)
 
 
 def _data(key, b=2, h=5, w=5, cf=12, cc=7):
@@ -270,3 +271,28 @@ def test_fused_salience_full_field_raises():
         contrastive_correlation_loss_fused(
             cfg, jr.PRNGKey(0), feats, feats, code, code, sal, sal,
             full_field=True, interpret=True)
+
+
+def test_fused_loss_bf16_feat_tiles_close_to_f32():
+    """feat_dtype=bfloat16 (the bf16-trunk production setting) must track the
+    f32 kernel within bf16 matmul noise — fd is stop-gradient, so only the
+    loss VALUE moves, not the gradient path's structure."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    shp = (2, 8, 8, 16)
+    f1 = jnp.asarray(rng.standard_normal(shp, dtype=np.float32))
+    f2 = jnp.asarray(rng.standard_normal(shp, dtype=np.float32))
+    c1 = jnp.asarray(rng.standard_normal((2, 8, 8, 6), dtype=np.float32))
+    c2 = jnp.asarray(rng.standard_normal((2, 8, 8, 6), dtype=np.float32))
+
+    def loss(c1_, dtype):
+        losses, _ = fused_correlation_loss_multi(
+            [(f1, f2, c1_, c2)], [0.3], feat_dtype=dtype)
+        return losses[0]
+
+    l32, g32 = jax.value_and_grad(lambda c: loss(c, jnp.float32))(c1)
+    l16, g16 = jax.value_and_grad(lambda c: loss(c, jnp.bfloat16))(c1)
+    np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                               rtol=5e-2, atol=5e-3)
