@@ -162,6 +162,10 @@ class Config:
     # re-decode everything; see data/loader.py:DiskCachedDataset). Same
     # determinism requirement as cache_dataset. Empty = off.
     cache_dataset_dir: str = ""
+    # SIGTERM -> checkpoint after the in-flight step, then exit cleanly
+    # (TPU-pod preemption safety; pairs with resume=true). Handlers install
+    # only on the main thread.
+    graceful_shutdown: bool = True
 
     def __post_init__(self):
         if self.arch not in ("dino", "feature-pyramid"):

@@ -357,6 +357,26 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     if cfg.aug_alignment_weight > 0:
         step_keys += ["img_aug", "coord_aug"]
 
+    # Preemption safety (TPU pods are routinely preempted): SIGTERM requests
+    # a checkpoint-and-exit after the in-flight step instead of killing the
+    # run mid-save. Pairs with resume=true to continue seamlessly. Handlers
+    # only install on the main thread (tests may call train() from workers);
+    # original handlers are restored on exit.
+    import signal
+    import threading
+
+    stop_signal: list = []
+    prev_handlers = {}
+    if (cfg.graceful_shutdown
+            and threading.current_thread() is threading.main_thread()):
+        def _request_stop(signum, frame):
+            print(f"signal {signum} received: will checkpoint and exit "
+                  "after the current step")
+            stop_signal.append(signum)
+
+        for s in (signal.SIGTERM,):
+            prev_handlers[s] = signal.signal(s, _request_stop)
+
     metrics_out: Dict[str, float] = {}
     batches: Iterator = infinite_batches(train_loader)
     t0 = time.time()
@@ -422,6 +442,19 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                                 step_idx + 1 == cfg.max_steps):
             mgr.save(step_idx + 1, jax.device_get(state), metrics=metrics_out)
 
+        if stop_signal:
+            if mgr is not None:
+                # force-save regardless of top-k ranking: a preemption
+                # checkpoint must land even if its metrics are worse
+                mgr.save_preemption(step_idx + 1, jax.device_get(state),
+                                    metrics=metrics_out)
+                mgr.wait_until_finished()
+            print(f"exiting after step {step_idx + 1} on signal "
+                  f"{stop_signal[0]} (resume=true continues from here)")
+            break
+
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     logger.close()
     if mgr is not None:
         mgr.close()

@@ -68,11 +68,46 @@ class CheckpointManager:
     def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 
+    def save_preemption(self, step: int, state: Dict[str, Any],
+                        metrics: Optional[Dict[str, float]] = None) -> None:
+        """Unconditional synchronous save OUTSIDE the top-k ranking.
+
+        A preemption checkpoint must survive even when its metric ranks below
+        the retained set (the managed save would be garbage-collected
+        immediately). Written to ``<dir>/preempt`` (overwriting any earlier
+        preemption snapshot); :meth:`restore` prefers it when it is newer
+        than the latest managed step."""
+        self._mgr.wait_until_finished()
+        if self._mgr.latest_step() == step:
+            return  # the managed save already captured this exact step
+        path = os.path.join(self.directory, "preempt")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(self.directory, "preempt_step.json"), "w") as f:
+            json.dump({"step": int(step),
+                       "metrics": {k: float(v)
+                                   for k, v in (metrics or {}).items()}}, f)
+
+    def _preempt_step(self) -> Optional[int]:
+        p = os.path.join(self.directory, "preempt_step.json")
+        if os.path.exists(p) and os.path.exists(
+                os.path.join(self.directory, "preempt")):
+            with open(p) as f:
+                return int(json.load(f)["step"])
+        return None
+
     def restore(self, step: Optional[int] = None,
                 template: Optional[Dict[str, Any]] = None) -> Tuple[int, Any]:
         self._mgr.wait_until_finished()
         if step is None:
-            step = self._mgr.latest_step()
+            pstep = self._preempt_step()
+            latest = self._mgr.latest_step()
+            if pstep is not None and (latest is None or pstep > latest):
+                state = ocp.StandardCheckpointer().restore(
+                    os.path.join(self.directory, "preempt"), template)
+                return pstep, state
+            step = latest
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         if template is not None:
