@@ -97,6 +97,24 @@ def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
         _, code2 = seg.net.apply(backbone, params["head"], img[:, :, ::-1],
                                  train=False)
         code = (code1 + code2[:, :, ::-1]) / 2.0
+
+        if not run_crf and not return_probs:
+            # argmax-only path: code-res logits + channel-major upsampled
+            # argmax — identical predictions to the interpolate-then-probe
+            # order (log_softmax is monotone; bilinear resize commutes with
+            # the affine probe; cluster argmax ignores the per-pixel norm),
+            # without lane-padded full-res code/prob tensors.
+            from stego_tpu.ops.math import l2_normalize
+            from stego_tpu.ops.probe_ce import upsampled_argmax
+
+            hw = label.shape[1:3]
+            linear_preds = upsampled_argmax(
+                linear_probe_logits(params["linear_probe"], code), hw)
+            cluster_preds = upsampled_argmax(
+                code @ l2_normalize(params["cluster_probe"]["clusters"],
+                                    axis=1).T, hw)
+            return linear_preds, cluster_preds
+
         code = interpolate(code, label.shape[1:3], "bilinear",
                            align_corners=False)
 

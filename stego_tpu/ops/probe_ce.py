@@ -89,3 +89,34 @@ def upsampled_masked_cross_entropy(
     nll = jnp.where(mask, lse - picked, 0.0)
     denom = jnp.maximum(jnp.sum(mask), 1)
     return jnp.sum(nll) / denom
+
+
+def upsampled_argmax(logits: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """argmax over classes of bilinearly-upsampled logits, channel-major.
+
+    Equivalent to ``argmax(interpolate(logits, out_hw), -1)`` but every
+    full-resolution tensor keeps its (H, W) dims minor (no 128-lane padding of
+    the class axis). Used by the validation/eval steps, where both probes'
+    predictions reduce to this form: bilinear resize commutes with affine maps
+    (weight rows sum to 1), and cosine-cluster argmax is invariant to the
+    per-pixel code norm — so ``argmax(probe(interpolate(code)))`` (reference
+    train_segmentation.py:257-268 order) equals
+    ``upsampled_argmax(probe_logits(code))`` exactly.
+
+    Args:
+      logits: (B, h, w, C) at code resolution (f32 compute for parity).
+      out_hw: (H, W) target size.
+    Returns: (B, H, W) int32 predictions.
+    """
+    b, h, w, c = logits.shape
+    out_hw = (int(out_hw[0]), int(out_hw[1]))
+    x = logits.astype(jnp.float32).transpose(0, 3, 1, 2)
+    if (h, w) != out_hw:
+        wh, ww = _weight_matrices((h, w), out_hw, "bilinear", False)
+        x = jax.lax.dot_general(
+            x, jnp.asarray(wh), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        x = jax.lax.dot_general(
+            x, jnp.asarray(ww), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jnp.argmax(x, axis=1).astype(jnp.int32)

@@ -395,20 +395,26 @@ def make_val_step(seg: UnsupervisedSegmenter):
 
     def val_step(backbone: Params, params: Params, batch: Dict[str, Any]):
         from stego_tpu.data.loader import restore_dtypes
+        from stego_tpu.ops.probe_ce import upsampled_argmax
 
         batch = restore_dtypes(batch)
         img = batch["img"]
         label = batch["label"]
         _, code = seg.net.apply(backbone, params["head"], img, train=False)
-        code = interpolate(code, label.shape[1:3], "bilinear",
-                           align_corners=False)
 
-        linear_preds = jnp.argmax(
-            linear_probe_logits(params["linear_probe"], code), axis=-1
-        )
-        _, cluster_probs = cluster_lookup(params["cluster_probe"], code,
-                                          alpha=None)
-        cluster_preds = jnp.argmax(cluster_probs, axis=-1)
+        # Predictions via code-res logits + channel-major upsampled argmax:
+        # mathematically identical to the reference's interpolate-then-probe
+        # order (bilinear resize commutes with the affine linear probe; the
+        # cosine-cluster argmax is invariant to the per-pixel code norm that
+        # upsampling would change) but ~2x faster — the 70-dim code upsample
+        # at label res lane-pads to 128 and dominated the val step
+        # (ops/probe_ce.py:upsampled_argmax).
+        hw = label.shape[1:3]
+        linear_preds = upsampled_argmax(
+            linear_probe_logits(params["linear_probe"], code), hw)
+        clu_ips = code @ l2_normalize(params["cluster_probe"]["clusters"],
+                                      axis=1).T
+        cluster_preds = upsampled_argmax(clu_ips, hw)
 
         conf_linear = update_conf_matrix(
             jnp.zeros((nc, nc), jnp.int32), linear_preds, label, nc, 0

@@ -35,17 +35,25 @@ def update_conf_matrix(
       preds/target: integer arrays of any (same) shape.
     Returns: updated stats.
     """
+    import jax
+
     actual = target.reshape(-1).astype(jnp.int32)
     preds = preds.reshape(-1).astype(jnp.int32)
     mask = (
         (actual >= 0) & (actual < n_classes) & (preds >= 0) & (preds < n_classes)
     )
     total = n_classes + extra_clusters
-    idx = actual * total + preds
-    idx = jnp.where(mask, idx, 0)
-    flat = jnp.zeros(n_classes * total, dtype=stats.dtype)
-    flat = flat.at[idx].add(mask.astype(stats.dtype))
-    return stats + flat.reshape(n_classes, total).T
+    # counts[a, p] = sum over pixels of [actual==a][preds==p]: a masked
+    # one-hot matmul on the MXU. (A scatter-add serializes on TPU — it was
+    # most of the val-step's non-trunk time; this is exact: 0/1 products,
+    # f32 accumulation, < 2^24 pixels per update.)
+    a1 = jax.nn.one_hot(jnp.where(mask, actual, -1), n_classes,
+                        dtype=jnp.bfloat16)
+    p1 = jax.nn.one_hot(preds, total, dtype=jnp.bfloat16)
+    counts = jax.lax.dot_general(
+        a1, p1, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return stats + counts.T.astype(stats.dtype)
 
 
 class UnsupervisedMetrics:

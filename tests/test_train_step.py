@@ -257,3 +257,37 @@ def test_upsampled_masked_ce_grad_matches_composition():
     )(logits)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_comp),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_upsampled_argmax_equals_interpolate_then_probe():
+    """The val/eval fast path (code-res logits -> channel-major upsampled
+    argmax) must produce the SAME predictions as the reference composition
+    (interpolate code -> probe -> argmax): bilinear resize commutes with the
+    affine linear probe, and the cosine-cluster argmax is invariant to the
+    per-pixel code norm."""
+    from stego_tpu.models.probes import (
+        cluster_lookup,
+        init_cluster_probe,
+        init_linear_probe,
+        linear_probe_logits,
+    )
+    from stego_tpu.ops.interp import interpolate
+    from stego_tpu.ops.math import l2_normalize
+    from stego_tpu.ops.probe_ce import upsampled_argmax
+
+    rng = np.random.default_rng(7)
+    code = jnp.asarray(rng.standard_normal((3, 7, 7, 12), dtype=np.float32))
+    lin = init_linear_probe(jr.PRNGKey(0), 12, 5)
+    clu = init_cluster_probe(jr.PRNGKey(1), 12, 6)
+
+    code_up = interpolate(code, 28, "bilinear", align_corners=False)
+    want_lin = np.asarray(jnp.argmax(linear_probe_logits(lin, code_up), -1))
+    _, probs = cluster_lookup(clu, code_up, alpha=None)
+    want_clu = np.asarray(jnp.argmax(probs, -1))
+
+    got_lin = np.asarray(upsampled_argmax(
+        linear_probe_logits(lin, code), (28, 28)))
+    got_clu = np.asarray(upsampled_argmax(
+        code @ l2_normalize(clu["clusters"], axis=1).T, (28, 28)))
+    np.testing.assert_array_equal(got_lin, want_lin)
+    np.testing.assert_array_equal(got_clu, want_clu)
