@@ -76,6 +76,10 @@ class Config:
     feature_samples: int = 11
     neg_samples: int = 5
     aug_alignment_weight: float = 0.0
+    # TPU-native: compute the augmented view (flip+crop+jitter+blur) inside
+    # the jitted step instead of on the host (~6 imgs/s on one core);
+    # device_augs=false restores the host PIL/numpy path (ops/augment.py)
+    device_augs: bool = True
     correspondence_weight: float = 1.0
     neg_inter_weight: float = 0.63
     pos_inter_weight: float = 0.25

@@ -100,7 +100,9 @@ def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array):
 
 
 def make_datasets(cfg: Config):
-    need_aug = cfg.aug_alignment_weight > 0
+    # host-side augmentation only when the device path is disabled
+    # (device_augs=true computes img_aug/coord_aug inside the jitted step)
+    need_aug = cfg.aug_alignment_weight > 0 and not cfg.device_augs
     train_dataset = ContrastiveSegDataset(
         pytorch_data_dir=cfg.pytorch_data_dir,
         dataset_name=cfg.dataset_name,
@@ -354,7 +356,7 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     step_keys = ["img", "label", "img_pos", "label_pos"]
     if cfg.use_salience:
         step_keys += ["mask", "mask_pos"]
-    if cfg.aug_alignment_weight > 0:
+    if cfg.aug_alignment_weight > 0 and not cfg.device_augs:
         step_keys += ["img_aug", "coord_aug"]
 
     # Preemption safety (TPU pods are routinely preempted): SIGTERM requests

@@ -226,24 +226,44 @@ def make_train_step(seg: UnsupervisedSegmenter):
         batch = restore_dtypes(batch)
         img = batch["img"]
         label = batch["label"]
-        k_head1, k_head2, k_feat1, k_feat2, k_corr, k_crf, k_head3 = (
-            jax.random.split(key, 7)
+        k_head1, k_head2, k_feat1, k_feat2, k_corr, k_crf, k_head3, k_aug = (
+            jax.random.split(key, 8)
         )
 
-        # Frozen backbone forward — img and img_pos in ONE batched call.
+        use_aug = cfg.aug_alignment_weight > 0
+        if use_aug:
+            if cfg.device_augs and "img_aug" not in batch:
+                # TPU-native augmented view: RandomResizedCrop+flip+jitter run
+                # inside the jitted step (the host path costs ~160 ms/image on
+                # a single core; ops/augment.py)
+                from stego_tpu.ops.augment import device_augment
+
+                img_aug, coord_aug = device_augment(k_aug, img)
+            else:
+                img_aug, coord_aug = batch["img_aug"], batch["coord_aug"]
+        else:
+            img_aug = coord_aug = None
+
+        # Frozen backbone forward — img, img_pos, and img_aug in ONE batched
+        # call (better MXU utilization than three dispatches).
         bsz = img.shape[0]
+        parts = [img]
         if use_pos:
-            both = jnp.concatenate([img, batch["img_pos"]], axis=0)
-            feat_both = seg.net.backbone_features(backbone, both)
-            image_feat = jax.tree.map(lambda a: a[:bsz], feat_both)
-            image_feat_pos = jax.tree.map(lambda a: a[bsz:], feat_both)
+            parts.append(batch["img_pos"])
+        if use_aug:
+            parts.append(img_aug)
+        if len(parts) > 1:
+            feat_all = seg.net.backbone_features(
+                backbone, jnp.concatenate(parts, axis=0))
+            chunks = []
+            for i in range(len(parts)):
+                chunks.append(jax.tree.map(
+                    lambda a, i=i: a[i * bsz:(i + 1) * bsz], feat_all))
         else:
-            image_feat = seg.net.backbone_features(backbone, img)
-            image_feat_pos = None
-        if cfg.aug_alignment_weight > 0:
-            image_feat_aug = seg.net.backbone_features(backbone, batch["img_aug"])
-        else:
-            image_feat_aug = None
+            chunks = [seg.net.backbone_features(backbone, img)]
+        image_feat = chunks[0]
+        image_feat_pos = chunks[1] if use_pos else None
+        image_feat_aug = chunks[-1] if use_aug else None
 
         def loss_fn(trainable: Params):
             metrics: Dict[str, jnp.ndarray] = {}
@@ -283,11 +303,11 @@ def make_train_step(seg: UnsupervisedSegmenter):
                 loss = loss + cfg.rec_weight * rec_loss
                 metrics["loss/rec"] = rec_loss
 
-            if cfg.aug_alignment_weight > 0:
+            if use_aug:
                 code_aug = seg.net.head_code(trainable["head"], image_feat_aug,
                                              train=True, rng=k_head3)
                 hw = code_aug.shape[1:3]
-                coord_small = interpolate(batch["coord_aug"], hw, "bilinear",
+                coord_small = interpolate(coord_aug, hw, "bilinear",
                                           align_corners=False)
                 # reference sample() quirk: the dataset stores (y, x) coords and
                 # sample() transposes the grid — the two swaps cancel on square
