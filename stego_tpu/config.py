@@ -68,6 +68,10 @@ class Config:
     lr: float = 5e-4
     pretrained_weights: Optional[str] = None
     use_salience: bool = False
+    # Beyond-reference: keep Potsdam's 4th (near-IR) channel (the reference
+    # drops it, data.py:153 TODO). Feeds a 4-channel ViT patch embed; DINO
+    # weights are expanded with a mean-RGB IR slice (models/convert.py).
+    potsdam_ir: bool = False
     stabalize: bool = False  # sic — reference spelling kept for key parity
     stop_at_zero: bool = True
 

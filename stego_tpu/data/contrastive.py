@@ -48,9 +48,13 @@ def knn_cache_file(pytorch_data_dir: str, model_type: str, dataset_name: str,
 def dataset_dispatch(dataset_name: str, crop_type, cfg) -> Dict[str, Any]:
     """Dataset table with class counts (reference data.py:447-486)."""
     if dataset_name == "potsdam":
-        return dict(n_classes=3, cls=Potsdam, extra=dict(coarse_labels=True))
+        return dict(n_classes=3, cls=Potsdam,
+                    extra=dict(coarse_labels=True,
+                               include_ir=getattr(cfg, "potsdam_ir", False)))
     if dataset_name == "potsdamraw":
-        return dict(n_classes=3, cls=PotsdamRaw, extra=dict(coarse_labels=True))
+        return dict(n_classes=3, cls=PotsdamRaw,
+                    extra=dict(coarse_labels=True,
+                               include_ir=getattr(cfg, "potsdam_ir", False)))
     if dataset_name == "directory":
         return dict(n_classes=cfg.dir_dataset_n_classes, cls=DirectoryDataset,
                     extra=dict(path=cfg.dir_dataset_name))

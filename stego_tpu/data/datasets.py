@@ -110,15 +110,19 @@ class DirectoryDataset:
 
 class _PotsdamBase:
     fine_to_coarse = POTSDAM_FINE_TO_COARSE
+    include_ir = False  # keep the 4th (near-IR) channel as PIL RGBA
+    # (the reference drops IR with a TODO, data.py:153; potsdam_ir=true keeps
+    # it — pair with ViTConfig.in_chans=4 / config potsdam_ir)
 
     def _load_pair(self, img_path: str, gt_path: str):
         from scipy.io import loadmat
 
         img = loadmat(img_path)["img"]
-        img = Image.fromarray(
-            (np.asarray(img)[:, :, :3] * 255).astype(np.uint8)
-            if np.asarray(img).dtype != np.uint8 else np.asarray(img)[:, :, :3]
-        )
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = (arr * 255).astype(np.uint8)
+        nc = 4 if (self.include_ir and arr.shape[-1] >= 4) else 3
+        img = Image.fromarray(arr[:, :, :nc], mode="RGBA" if nc == 4 else None)
         try:
             gt = loadmat(gt_path)["gt"]
             label = Image.fromarray(np.asarray(gt).astype(np.uint8))
@@ -151,8 +155,9 @@ class Potsdam(_PotsdamBase):
     }
 
     def __init__(self, root, image_set, transform, target_transform,
-                 coarse_labels, seed: int = 0):
+                 coarse_labels, seed: int = 0, include_ir: bool = False):
         self.root = os.path.join(root, "potsdam")
+        self.include_ir = include_ir
         assert image_set in self.SPLIT_FILES
         self.files: List[str] = []
         for split_file in self.SPLIT_FILES[image_set]:
@@ -180,8 +185,9 @@ class PotsdamRaw(_PotsdamBase):
     """38x15x15 raw tile grid (reference data.py:181-229)."""
 
     def __init__(self, root, image_set, transform, target_transform,
-                 coarse_labels, seed: int = 0):
+                 coarse_labels, seed: int = 0, include_ir: bool = False):
         self.root = os.path.join(root, "potsdamraw", "processed")
+        self.include_ir = include_ir
         self.files = [
             f"{im}_{ih}_{iw}.mat"
             for im in range(38) for ih in range(15) for iw in range(15)

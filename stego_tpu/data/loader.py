@@ -263,13 +263,15 @@ def compact_batch(batch):
     batch 16 / res 224): normalized images -> uint8 (inverse-normalized),
     other float32 -> float16, int64 -> int16. The train/val steps invert on
     device via restore_dtypes."""
-    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from stego_tpu.data.transforms import channel_stats
 
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        if k in _IMAGE_KEYS and v.dtype == np.float32 and v.shape[-1] == 3:
-            raw = v * IMAGENET_STD + IMAGENET_MEAN
+        if k in _IMAGE_KEYS and v.dtype == np.float32 and \
+                v.shape[-1] in (3, 4):
+            mean, std = channel_stats(v.shape[-1])
+            raw = v * std + mean
             out[k] = np.clip(np.rint(raw * 255.0), 0, 255).astype(np.uint8)
         elif v.dtype == np.float32:
             out[k] = v.astype(np.float16)
@@ -286,13 +288,12 @@ def restore_dtypes(batch):
     (tests, direct API use) see identity behavior."""
     import jax.numpy as jnp
 
-    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from stego_tpu.data.transforms import channel_stats
 
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
     out = {}
     for k, v in batch.items():
         if k in _IMAGE_KEYS and v.dtype == jnp.uint8:
+            mean, std = (jnp.asarray(s) for s in channel_stats(v.shape[-1]))
             out[k] = (v.astype(jnp.float32) / 255.0 - mean) / std
         elif v.dtype == jnp.float16:
             out[k] = v.astype(jnp.float32)

@@ -29,15 +29,27 @@ from PIL import Image, ImageFilter
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+# 4th-channel (near-IR, Potsdam potsdam_ir=true) stats: reuse the red-channel
+# statistics — near-IR reflectance correlates with red and no pretrained
+# normalization exists for it (the reference drops IR entirely, data.py:153)
+CHANNEL_MEAN4 = np.concatenate([IMAGENET_MEAN, IMAGENET_MEAN[:1]])
+CHANNEL_STD4 = np.concatenate([IMAGENET_STD, IMAGENET_STD[:1]])
+
+
+def channel_stats(c: int):
+    """(mean, std) for a C-channel image (C == 3 or 4)."""
+    return CHANNEL_MEAN4[:c], CHANNEL_STD4[:c]
 
 
 def normalize(img: np.ndarray) -> np.ndarray:
-    """[0,1] HWC float -> ImageNet-normalized."""
-    return (img - IMAGENET_MEAN) / IMAGENET_STD
+    """[0,1] HWC float -> ImageNet-normalized (3- or 4-channel)."""
+    mean, std = channel_stats(img.shape[-1])
+    return (img - mean) / std
 
 
 def unnormalize(img: np.ndarray) -> np.ndarray:
-    return img * IMAGENET_STD + IMAGENET_MEAN
+    mean, std = channel_stats(img.shape[-1])
+    return img * std + mean
 
 
 def _resize_short_side(img: Image.Image, res: Union[int, Tuple[int, int]],
@@ -102,7 +114,7 @@ class Transform:
                 arr = arr[..., 0]
             fill = 0
         else:
-            if img.mode != "RGB":
+            if img.mode not in ("RGB", "RGBA"):  # RGBA carries Potsdam IR
                 img = img.convert("RGB")
             arr = np.asarray(img).astype(np.float32) / 255.0
             fill = 0.0

@@ -21,7 +21,7 @@ from stego_tpu.config import Config
 from stego_tpu.data.colormaps import colormap_for_dataset
 from stego_tpu.data.contrastive import ContrastiveSegDataset
 from stego_tpu.data.loader import DataLoader
-from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, get_transform
+from stego_tpu.data.transforms import channel_stats, get_transform
 from stego_tpu.models.probes import cluster_lookup, linear_probe_logits
 from stego_tpu.models.vit import ViTConfig
 from stego_tpu.ops.crf import dense_crf
@@ -124,18 +124,15 @@ def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
         cluster_probs = cluster_lookup(params["cluster_probe"], code,
                                        alpha=2.0, log_probs=True)
 
+        # unnormalized RGB for CRF guidance/figures (4-channel potsdam_ir
+        # inputs contribute their RGB slice; the bilateral kernel is RGB)
+        mean, std = (jnp.asarray(s) for s in channel_stats(img.shape[-1]))
         if return_probs:
-            img01 = jnp.clip(
-                img * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN),
-                0.0, 1.0,
-            )
+            img01 = jnp.clip(img * std + mean, 0.0, 1.0)[..., :3]
             return linear_probs, cluster_probs, img01
 
         if run_crf:
-            img01 = jnp.clip(
-                img * jnp.asarray(IMAGENET_STD) + jnp.asarray(IMAGENET_MEAN),
-                0.0, 1.0,
-            )
+            img01 = jnp.clip(img * std + mean, 0.0, 1.0)[..., :3]
             linear_preds = jnp.argmax(dense_crf(img01, linear_probs), axis=-1)
             cluster_preds = jnp.argmax(dense_crf(img01, cluster_probs), axis=-1)
         else:

@@ -108,11 +108,33 @@ def vit_params_from_torch(
     return params
 
 
+def expand_patch_embed(params: Dict, in_chans: int) -> Dict:
+    """Widen a 3-channel patch-embed kernel to ``in_chans`` by appending
+    mean-of-RGB slices (the standard recipe for adding e.g. a near-IR channel
+    to RGB-pretrained weights: activations are unchanged for inputs whose
+    extra channels are zero-mean)."""
+    kernel = np.asarray(params["patch_embed"]["kernel"])  # (P, P, 3, D)
+    have = kernel.shape[2]
+    if have == in_chans:
+        return params
+    if have != 3 or in_chans < 3:
+        raise ValueError(f"cannot expand patch embed {have} -> {in_chans}")
+    extra = np.repeat(kernel.mean(axis=2, keepdims=True), in_chans - have,
+                      axis=2)
+    out = dict(params)
+    out["patch_embed"] = dict(params["patch_embed"])
+    out["patch_embed"]["kernel"] = np.concatenate([kernel, extra], axis=2)
+    return out
+
+
 def load_dino_backbone(
-    path: str, model_type: str, patch_size: int
+    path: str, model_type: str, patch_size: int, in_chans: int = 3
 ) -> Tuple[Dict, ViTConfig]:
     """Load a DINO ``.pth`` file from disk (teacher dicts handled like
-    reference src/modules.py:46-52)."""
+    reference src/modules.py:46-52). ``in_chans=4`` widens the patch embed
+    for Potsdam-with-IR (config potsdam_ir=true)."""
+    import dataclasses
+
     import torch
 
     cfg = VIT_CONFIGS[model_type][patch_size]
@@ -121,7 +143,11 @@ def load_dino_backbone(
         sd = sd["teacher"]
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    return vit_params_from_torch(sd, cfg), cfg
+    params = vit_params_from_torch(sd, cfg)
+    if in_chans != 3:
+        params = expand_patch_embed(params, in_chans)
+        cfg = dataclasses.replace(cfg, in_chans=in_chans)
+    return params, cfg
 
 
 def _conv1x1_to_dense(w: np.ndarray) -> np.ndarray:

@@ -41,6 +41,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     ln_eps: float = 1e-6
     img_size: int = 224  # resolution the positional embedding was trained at
+    in_chans: int = 3    # 4 for Potsdam-with-IR (config potsdam_ir=true)
 
     @property
     def n_patches_side(self) -> int:
@@ -106,7 +107,8 @@ def init_vit_params(key: jax.Array, cfg: ViTConfig) -> Dict:
     }
     return {
         "patch_embed": {
-            "kernel": trunc_normal(ks[4], (cfg.patch_size, cfg.patch_size, 3, d)),
+            "kernel": trunc_normal(
+                ks[4], (cfg.patch_size, cfg.patch_size, cfg.in_chans, d)),
             "bias": zeros(d),
         },
         "cls_token": trunc_normal(ks[5], (1, 1, d)),

@@ -41,8 +41,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
-
 BLUR_HALF = 6  # 13-tap kernel covers 3*sigma for the sampled sigma<=2.0
 
 
@@ -265,8 +263,13 @@ def apply_photometric_device(img: jnp.ndarray, p: PhotoParams) -> jnp.ndarray:
     """ColorJitter in per-sample random order + grayscale + blur on a
     (B, H, W, C) [0,1] image. jnp port of transforms.apply_photometric (the
     blur kernel is a truncated Gaussian rather than PIL's box-chain
-    approximation — a distributional knob, like the [0,1]-space jitter)."""
+    approximation — a distributional knob, like the [0,1]-space jitter).
+    4-channel inputs (Potsdam IR): color ops apply to the RGB slice, blur to
+    all channels."""
     bb = lambda a: a[:, None, None, None]
+    extra = None
+    if img.shape[-1] > 3:
+        img, extra = img[..., :3], img[..., 3:]
 
     def _bright(x):
         return jnp.clip(x * bb(p.brightness), 0, 1)
@@ -290,6 +293,8 @@ def apply_photometric_device(img: jnp.ndarray, p: PhotoParams) -> jnp.ndarray:
             cands, jnp.broadcast_to(op_id[None, :, None, None, None],
                                     (1,) + img.shape), axis=0)[0]
     img = jnp.where(bb(p.grayscale), _grayscale(img), img)
+    if extra is not None:
+        img = jnp.concatenate([img, extra], axis=-1)
     img = jnp.where(bb(p.blur), _gaussian_blur(img, p.blur_sigma), img)
     return img
 
@@ -303,13 +308,15 @@ def device_augment(key: jax.Array, img_normalized: jnp.ndarray
     """(img_aug, coord_aug) from an ImageNet-normalized (B, H, W, 3) batch —
     the device-resident equivalent of ContrastiveSegDataset's host aug branch
     (data/contrastive.py:173-189). Fully jittable; runs inside the train step."""
+    from stego_tpu.data.transforms import channel_stats
+
     b, h, w = img_normalized.shape[:3]
     kg, kp = jax.random.split(key)
     gp = sample_geometric(kg, b, h, w)
     pp = sample_photometric(kp, b)
 
-    mean = jnp.asarray(IMAGENET_MEAN)
-    std = jnp.asarray(IMAGENET_STD)
+    mean, std = (jnp.asarray(s)
+                 for s in channel_stats(img_normalized.shape[-1]))
     img01 = jnp.clip(img_normalized.astype(jnp.float32) * std + mean, 0, 1)
     img_aug, coord_aug = apply_geometric_device(img01, gp, out_res=h)
     img_aug = apply_photometric_device(jnp.clip(img_aug, 0, 1), pp)

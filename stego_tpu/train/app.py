@@ -88,7 +88,8 @@ def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array):
         from stego_tpu.models.convert import load_dino_backbone
 
         params, _ = load_dino_backbone(
-            cfg.pretrained_weights, cfg.model_type, cfg.dino_patch_size
+            cfg.pretrained_weights, cfg.model_type, cfg.dino_patch_size,
+            in_chans=4 if cfg.potsdam_ir else 3,
         )
         return jax.tree.map(jnp.asarray, params)
     print(

@@ -73,6 +73,10 @@ def precompute_knns(
 
                         vcfg = vit_cfg or VIT_CONFIGS[cfg.model_type][
                             cfg.dino_patch_size]
+                        if cfg.potsdam_ir and vcfg.in_chans != 4:
+                            import dataclasses
+
+                            vcfg = dataclasses.replace(vcfg, in_chans=4)
                         seg_net = DinoFeaturizer(
                             vcfg, dim=20, feat_type=cfg.dino_feat_type,
                             projection_type=None, use_dropout=False,

@@ -68,6 +68,10 @@ class UnsupervisedSegmenter:
         self.dim = cfg.dim if cfg.continuous else n_classes
         if vit_cfg is None and cfg.arch == "dino":
             vit_cfg = VIT_CONFIGS[cfg.model_type][cfg.dino_patch_size]
+        if vit_cfg is not None and getattr(cfg, "potsdam_ir", False):
+            import dataclasses
+
+            vit_cfg = dataclasses.replace(vit_cfg, in_chans=4)
         self.vit_cfg = vit_cfg
         backbone_dtype = (
             jnp.bfloat16 if cfg.backbone_dtype == "bfloat16" else jnp.float32

@@ -13,8 +13,9 @@ from stego_tpu.data.transforms import unnormalize
 
 
 def prep_for_plot(img_nhwc: np.ndarray, rescale: bool = True) -> np.ndarray:
-    """Normalized NHWC image -> displayable [0,1] HWC."""
-    img = unnormalize(np.asarray(img_nhwc))
+    """Normalized NHWC image -> displayable [0,1] HWC (4-channel inputs show
+    their RGB slice; the IR channel is data, not display)."""
+    img = unnormalize(np.asarray(img_nhwc))[..., :3]
     if rescale:
         img = (img - img.min()) / max(img.max() - img.min(), 1e-12)
     return np.clip(img, 0, 1)

@@ -163,3 +163,23 @@ def test_cityscapes_loader(cityscapes_root):
     # labels shifted by first_nonvoid=7; negatives -> -1; 27 classes
     assert label.min() >= -1
     assert label.max() <= 26
+
+
+def test_potsdam_ir_channel(potsdam_root):
+    """potsdam_ir keeps the 4th (near-IR) channel — beyond the reference,
+    which drops it (reference data.py:153 TODO)."""
+    from stego_tpu.data.transforms import CHANNEL_MEAN4, CHANNEL_STD4
+
+    ds3 = Potsdam(potsdam_root, "train", get_transform(16, False, "center"),
+                  get_transform(16, True, "center"), coarse_labels=True)
+    ds4 = Potsdam(potsdam_root, "train", get_transform(16, False, "center"),
+                  get_transform(16, True, "center"), coarse_labels=True,
+                  include_ir=True)
+    img3, label3, _ = ds3[0]
+    img4, label4, _ = ds4[0]
+    assert img4.shape == (16, 16, 4)
+    np.testing.assert_allclose(img4[..., :3], img3, atol=1e-6)
+    np.testing.assert_array_equal(label4, label3)
+    # IR channel was normalized with the documented red-channel stats
+    raw_ir = img4[..., 3] * CHANNEL_STD4[3] + CHANNEL_MEAN4[3]
+    assert (raw_ir >= -1e-5).all() and (raw_ir <= 1 + 1e-5).all()

