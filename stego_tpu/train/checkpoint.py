@@ -45,12 +45,20 @@ class CheckpointManager:
         )
 
     def save_backbone(self, backbone_params) -> None:
-        """The frozen backbone is saved once, outside the managed steps."""
+        """The frozen backbone is saved once, outside the managed steps.
+
+        Fetched to host FIRST: handing sharded device arrays to orbax routes
+        them through its replica-slice transfer, which on tunneled platforms
+        degenerates to whole-buffer pulls per slice (measured 371 s vs 34 s
+        for the ViT-S backbone — 11x). One bulk device_get, then orbax only
+        sees numpy."""
         if self._backbone_saved:
             return
+        import jax
+
         path = os.path.join(self.directory, "backbone")
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, backbone_params)
+        ckptr.save(path, jax.device_get(backbone_params))
         ckptr.wait_until_finished()
         self._backbone_saved = True
 
