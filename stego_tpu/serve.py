@@ -1,0 +1,189 @@
+"""Model packaging for serving: a self-contained deployable artifact.
+
+The reference's closest analogue is the Colab/demo path — load a Lightning
+checkpoint with the full Python model code and run ad-hoc inference
+(reference src/demo_segmentation.py, STEGO_Colab_Demo.ipynb). Production
+serving wants the opposite: an artifact that runs WITHOUT the training
+codebase. TPU-natively that is `jax.export`: the jitted flip-TTA inference
+function (backbone forward → code → probe log-probs → argmax) is staged to
+StableHLO and serialized. Unlike compiled-executable caching (which cannot
+cross processes on tunneled platforms — see TODO.md #11), the StableHLO
+artifact is portable across processes, hosts, and jax point releases, and is
+compiled for whatever devices the serving process sees.
+
+Artifact layout (a directory):
+    model.bin     serialized jax.export.Exported (StableHLO + treedefs)
+    weights.npz   flattened backbone + head/probe parameters
+    meta.json     input spec (res, batch, channels), class count, config echo
+
+``ServingModel.load`` + ``predict`` is the whole serving API; predictions are
+(linear_preds, cluster_preds) int32 maps at input resolution plus the
+log-prob tensors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SEP = "//"
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split(_SEP)
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def _serve_fn(seg):
+    """Flip-TTA inference on a [0,1] RGB(A) batch — the serving contract
+    takes RAW images so the normalization constants ship inside the artifact
+    (reference eval_segmentation.py:124-131 math)."""
+    from stego_tpu.data.transforms import channel_stats
+    from stego_tpu.models.probes import cluster_lookup, linear_probe_logits
+    from stego_tpu.ops.interp import interpolate
+
+    def fn(backbone, params, img01):
+        mean, std = (jnp.asarray(s) for s in channel_stats(img01.shape[-1]))
+        img = (img01.astype(jnp.float32) - mean) / std
+        _, code1 = seg.net.apply(backbone, params["head"], img, train=False)
+        _, code2 = seg.net.apply(backbone, params["head"], img[:, :, ::-1],
+                                 train=False)
+        code = (code1 + code2[:, :, ::-1]) / 2.0
+        code = interpolate(code, img.shape[1:3], "bilinear",
+                           align_corners=False)
+        from stego_tpu.ops.math import l2_normalize
+
+        linear_probs = jax.nn.log_softmax(
+            linear_probe_logits(params["linear_probe"], code), axis=-1)
+        cluster_probs = cluster_lookup(params["cluster_probe"], code,
+                                       alpha=2.0, log_probs=True)
+        return {
+            "linear_probs": linear_probs,
+            "cluster_probs": cluster_probs,
+            "linear_preds": jnp.argmax(linear_probs, axis=-1).astype(jnp.int32),
+            "cluster_preds": jnp.argmax(cluster_probs, axis=-1).astype(jnp.int32),
+        }
+
+    return fn
+
+
+def package_from_parts(seg, backbone, params, out_dir: str,
+                       res: int, batch_size: int) -> str:
+    """Export (segmenter, weights) as a serving artifact directory."""
+    from jax import export as jexport
+
+    os.makedirs(out_dir, exist_ok=True)
+    in_chans = seg.vit_cfg.in_chans if seg.vit_cfg is not None else 3
+    serve_params = {
+        "head": params["head"],
+        "linear_probe": params["linear_probe"],
+        "cluster_probe": params["cluster_probe"],
+    }
+    backbone = jax.tree.map(jnp.asarray, backbone)
+    serve_params = jax.tree.map(jnp.asarray, serve_params)
+
+    img_spec = jax.ShapeDtypeStruct((batch_size, res, res, in_chans),
+                                    jnp.float32)
+    exported = jexport.export(jax.jit(_serve_fn(seg)))(
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                     backbone),
+        jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                     serve_params),
+        img_spec,
+    )
+    with open(os.path.join(out_dir, "model.bin"), "wb") as f:
+        f.write(exported.serialize())
+    np.savez_compressed(
+        os.path.join(out_dir, "weights.npz"),
+        **_flatten({"backbone": jax.device_get(backbone),
+                    "params": jax.device_get(serve_params)}),
+    )
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({
+            "res": res, "batch_size": batch_size, "in_chans": in_chans,
+            "n_classes": seg.n_classes,
+            "extra_clusters": seg.cfg.extra_clusters,
+            "input": "float32 [0,1] RGB(A), NHWC",
+        }, f, indent=2)
+    return out_dir
+
+
+def package(model_path: str, out_dir: str, res: int = 320,
+            batch_size: int = 8) -> str:
+    """Package a trained checkpoint (orbax dir or Lightning .ckpt)."""
+    from stego_tpu.eval.evaluate import load_model_for_eval
+
+    seg, backbone, params = load_model_for_eval(model_path)
+    return package_from_parts(seg, backbone, params, out_dir, res, batch_size)
+
+
+class ServingModel:
+    """Loads a packaged artifact and serves predictions — no model code, no
+    config system, no checkpoint manager; just StableHLO + weights."""
+
+    def __init__(self, call, backbone, params, meta: Dict[str, Any]):
+        self._call = call
+        self._backbone = backbone
+        self._params = params
+        self.meta = meta
+
+    @classmethod
+    def load(cls, path: str) -> "ServingModel":
+        from jax import export as jexport
+
+        with open(os.path.join(path, "model.bin"), "rb") as f:
+            exported = jexport.deserialize(f.read())
+        flat = dict(np.load(os.path.join(path, "weights.npz")))
+        tree = _unflatten(flat)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        call = jax.jit(exported.call)
+        return cls(call, tree["backbone"], tree["params"], meta)
+
+    def predict(self, img01: np.ndarray) -> Dict[str, np.ndarray]:
+        """img01: (B, res, res, C) float32 in [0, 1] matching meta['res'] /
+        meta['batch_size'] (pad the batch if short)."""
+        out = self._call(self._backbone, self._params, jnp.asarray(img01))
+        return jax.tree.map(np.asarray, out)
+
+
+def main(argv=None):
+    """CLI: python -m stego_tpu.serve model_path=<ckpt> output_dir=<dir>
+    [res=320] [batch_size=8] — then from the serving side:
+    ``ServingModel.load(dir).predict(batch)``."""
+    from stego_tpu.config import prep_args
+
+    args = prep_args(argv)
+    out = package(
+        args.pop("model_path"), args.pop("output_dir"),
+        res=int(args.pop("res", 320)), batch_size=int(args.pop("batch_size", 8)),
+    )
+    if args:
+        raise ValueError(f"Unknown args: {sorted(args)}")
+    print(f"packaged serving artifact at {out}")
+
+
+if __name__ == "__main__":
+    main()

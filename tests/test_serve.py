@@ -1,0 +1,60 @@
+"""Serving artifact (stego_tpu/serve.py): package -> load -> predict must
+reproduce the in-process inference function exactly, via the serialized
+StableHLO path with weights reloaded from the npz."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stego_tpu.config import Config
+from stego_tpu.models.vit import ViTConfig, init_vit_params
+from stego_tpu.serve import ServingModel, _serve_fn, package_from_parts
+from stego_tpu.train.segmenter import UnsupervisedSegmenter
+
+TINY = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4, img_size=16)
+
+
+def _parts():
+    cfg = Config(dataset_name="directory", dir_dataset_n_classes=3, res=16,
+                 dim=6, crop_type=None, backbone_dtype="float32")
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=TINY)
+    backbone = init_vit_params(jax.random.PRNGKey(0), TINY)
+    params = seg.init_params(jax.random.PRNGKey(1))
+    return seg, backbone, params
+
+
+def test_package_load_predict_roundtrip(tmp_path):
+    seg, backbone, params = _parts()
+    out_dir = package_from_parts(seg, backbone, params, str(tmp_path / "art"),
+                                 res=16, batch_size=2)
+
+    model = ServingModel.load(out_dir)
+    assert model.meta["res"] == 16 and model.meta["n_classes"] == 3
+
+    img01 = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3)))
+    out = model.predict(img01)
+    assert out["linear_preds"].shape == (2, 16, 16)
+    assert out["cluster_preds"].shape == (2, 16, 16)
+    assert out["linear_probs"].shape == (2, 16, 16, 3)
+
+    # exact agreement with the direct (non-exported) inference function
+    serve_params = {k: params[k]
+                    for k in ("head", "linear_probe", "cluster_probe")}
+    ref = jax.jit(_serve_fn(seg))(backbone, serve_params, jnp.asarray(img01))
+    np.testing.assert_allclose(out["linear_probs"],
+                               np.asarray(ref["linear_probs"]), atol=1e-5)
+    np.testing.assert_array_equal(out["cluster_preds"],
+                                  np.asarray(ref["cluster_preds"]))
+
+
+def test_weights_roundtrip_flatten():
+    from stego_tpu.serve import _flatten, _unflatten
+
+    tree = {"a": {"b": np.ones((2, 2)), "c": {"d": np.zeros(3)}},
+            "e": np.arange(4)}
+    flat = _flatten(tree)
+    back = _unflatten(flat)
+    assert set(flat) == {"a//b", "a//c//d", "e"}
+    np.testing.assert_array_equal(back["a"]["c"]["d"], tree["a"]["c"]["d"])
+    np.testing.assert_array_equal(back["e"], tree["e"])
