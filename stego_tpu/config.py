@@ -190,6 +190,11 @@ class Config:
             raise ValueError(
                 f"res={self.res} must be divisible by patch={self.dino_patch_size}"
             )
+        if self.potsdam_ir and not str(self.dataset_name).startswith("potsdam"):
+            raise ValueError(
+                "potsdam_ir=true requires dataset_name=potsdam/potsdamraw "
+                "(only the Potsdam .mat tiles carry a 4th near-IR channel)"
+            )
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":

@@ -45,6 +45,18 @@ def knn_cache_file(pytorch_data_dir: str, model_type: str, dataset_name: str,
     )
 
 
+def dataset_nice_name(cfg, dataset_name: str) -> str:
+    """Dataset label used in KNN cache filenames. potsdam_ir embeds in a
+    distinct (4-channel) feature space, so its caches must not collide with
+    RGB-only ones."""
+    nice = cfg.dir_dataset_name if dataset_name == "directory" \
+        else dataset_name
+    if getattr(cfg, "potsdam_ir", False) and \
+            str(dataset_name).startswith("potsdam"):
+        nice = f"{nice}_ir4"
+    return nice
+
+
 def dataset_dispatch(dataset_name: str, crop_type, cfg) -> Dict[str, Any]:
     """Dataset table with class counts (reference data.py:447-486)."""
     if dataset_name == "potsdam":
@@ -130,8 +142,7 @@ class ContrastiveSegDataset:
         )
 
         model_type = model_type_override or cfg.model_type
-        nice_name = cfg.dir_dataset_name if dataset_name == "directory" \
-            else dataset_name
+        nice_name = dataset_nice_name(cfg, dataset_name)
         self.feature_cache_file = knn_cache_file(
             pytorch_data_dir, model_type, nice_name, image_set, crop_type,
             cfg.res,

@@ -121,7 +121,12 @@ class _PotsdamBase:
         arr = np.asarray(img)
         if arr.dtype != np.uint8:
             arr = (arr * 255).astype(np.uint8)
-        nc = 4 if (self.include_ir and arr.shape[-1] >= 4) else 3
+        if self.include_ir and arr.shape[-1] < 4:
+            raise ValueError(
+                f"potsdam_ir=true but {img_path} has only {arr.shape[-1]} "
+                "channels (no IR band)"
+            )
+        nc = 4 if self.include_ir else 3
         img = Image.fromarray(arr[:, :, :nc], mode="RGBA" if nc == 4 else None)
         try:
             gt = loadmat(gt_path)["gt"]

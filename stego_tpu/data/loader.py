@@ -226,12 +226,13 @@ class DiskCachedDataset:
 
 
 def _compact_item(v: np.ndarray):
-    """(array, tag) — uint8 for normalized RGB (exact inverse-normalization),
-    int16 for labels, pass-through otherwise."""
-    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    """(array, tag) — uint8 for normalized RGB(A) (exact
+    inverse-normalization), int16 for labels, pass-through otherwise."""
+    from stego_tpu.data.transforms import channel_stats
 
-    if v.dtype == np.float32 and v.ndim == 3 and v.shape[-1] == 3:
-        raw = v * IMAGENET_STD + IMAGENET_MEAN
+    if v.dtype == np.float32 and v.ndim == 3 and v.shape[-1] in (3, 4):
+        mean, std = channel_stats(v.shape[-1])
+        raw = v * std + mean
         q = np.clip(np.rint(raw * 255.0), 0, 255).astype(np.uint8)
         return q, "norm_u8"
     if v.dtype == np.int64:
@@ -240,11 +241,11 @@ def _compact_item(v: np.ndarray):
 
 
 def _decompact_item(v: np.ndarray, tag: str) -> np.ndarray:
-    from stego_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    from stego_tpu.data.transforms import channel_stats
 
     if tag == "norm_u8":
-        return ((v.astype(np.float32) / 255.0 - IMAGENET_MEAN)
-                / IMAGENET_STD).astype(np.float32)
+        mean, std = channel_stats(v.shape[-1])
+        return ((v.astype(np.float32) / 255.0 - mean) / std).astype(np.float32)
     if tag == "i16":
         return v.astype(np.int64)
     return v

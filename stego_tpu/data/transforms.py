@@ -270,8 +270,12 @@ def sample_photometric_params(
 
 
 def apply_photometric(img01: np.ndarray, p: PhotometricParams) -> np.ndarray:
-    """Apply jitter to an HWC [0,1] image."""
-    img = img01
+    """Apply jitter to an HWC [0,1] image. 4-channel (Potsdam IR) inputs:
+    color ops apply to the RGB slice, blur to all channels (matching the
+    device path, ops/augment.py)."""
+    img, extra = img01, None
+    if img.shape[-1] > 3:
+        img, extra = img01[..., :3], img01[..., 3:]
     for op in p.order:
         if op == 0 and p.brightness is not None:
             img = np.clip(img * p.brightness, 0, 1)
@@ -285,8 +289,11 @@ def apply_photometric(img01: np.ndarray, p: PhotometricParams) -> np.ndarray:
             img = np.clip(_adjust_hue(img, p.hue), 0, 1)
     if p.grayscale:
         img = _rgb_to_grayscale(img)
+    if extra is not None:
+        img = np.concatenate([img, extra], axis=-1)
     if p.blur_sigma is not None:
-        pil = Image.fromarray((img * 255).astype(np.uint8))
+        mode = "RGBA" if img.shape[-1] == 4 else None
+        pil = Image.fromarray((img * 255).astype(np.uint8), mode=mode)
         pil = pil.filter(ImageFilter.GaussianBlur(radius=p.blur_sigma))
         img = np.asarray(pil).astype(np.float32) / 255.0
     return img

@@ -73,8 +73,6 @@ def _serve_fn(seg):
         code = (code1 + code2[:, :, ::-1]) / 2.0
         code = interpolate(code, img.shape[1:3], "bilinear",
                            align_corners=False)
-        from stego_tpu.ops.math import l2_normalize
-
         linear_probs = jax.nn.log_softmax(
             linear_probe_logits(params["linear_probe"], code), axis=-1)
         cluster_probs = cluster_lookup(params["cluster_probe"], code,
@@ -160,7 +158,11 @@ class ServingModel:
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         call = jax.jit(exported.call)
-        return cls(call, tree["backbone"], tree["params"], meta)
+        # device-resident weights: passing numpy trees would re-transfer the
+        # whole backbone on every predict (seconds on slow links)
+        backbone = jax.tree.map(jnp.asarray, tree["backbone"])
+        params = jax.tree.map(jnp.asarray, tree["params"])
+        return cls(call, backbone, params, meta)
 
     def predict(self, img01: np.ndarray) -> Dict[str, np.ndarray]:
         """img01: (B, res, res, C) float32 in [0, 1] matching meta['res'] /
@@ -176,12 +178,13 @@ def main(argv=None):
     from stego_tpu.config import prep_args
 
     args = prep_args(argv)
-    out = package(
-        args.pop("model_path"), args.pop("output_dir"),
-        res=int(args.pop("res", 320)), batch_size=int(args.pop("batch_size", 8)),
-    )
-    if args:
+    model_path = args.pop("model_path")
+    output_dir = args.pop("output_dir")
+    res = int(args.pop("res", 320))
+    batch_size = int(args.pop("batch_size", 8))
+    if args:  # fail on typos BEFORE the expensive export trace
         raise ValueError(f"Unknown args: {sorted(args)}")
+    out = package(model_path, output_dir, res=res, batch_size=batch_size)
     print(f"packaged serving artifact at {out}")
 
 

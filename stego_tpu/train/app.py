@@ -135,7 +135,8 @@ def make_datasets(cfg: Config):
                  f"{nice}_train_{cfg.crop_type}_{cfg.res}"),
             signature={"res": cfg.res, "crop_type": str(cfg.crop_type),
                        "image_set": "train",
-                       "loader_crop": str(cfg.loader_crop_type)},
+                       "loader_crop": str(cfg.loader_crop_type),
+                       "potsdam_ir": cfg.potsdam_ir},
         )
     if cfg.cache_dataset:
         from stego_tpu.data.loader import CachedDataset

@@ -46,8 +46,9 @@ def precompute_knns(
     for crop_type in crop_types:
         for image_set in image_sets:
             for dataset_name in dataset_names:
-                nice = cfg.dir_dataset_name if dataset_name == "directory" \
-                    else dataset_name
+                from stego_tpu.data.contrastive import dataset_nice_name
+
+                nice = dataset_nice_name(cfg, dataset_name)
                 cache = knn_cache_file(cfg.pytorch_data_dir, cfg.model_type,
                                        nice, image_set, crop_type, res)
                 if os.path.exists(cache):

@@ -172,3 +172,28 @@ def test_train_step_with_device_augs():
     assert np.isfinite(float(metrics["loss/aug_alignment"]))
     assert float(metrics["loss/aug_alignment"]) < 0  # cosine agreement
     assert int(new_state["step"]) == 1
+
+
+def test_host_photometric_4channel():
+    """4-channel host jitter: RGB ops on the RGB slice, IR untouched by color
+    ops (blur off) — mirrors the device path."""
+    rng = np.random.default_rng(5)
+    img4 = rng.random((12, 12, 4)).astype(np.float32)
+    pp = PhotometricParams(
+        order=np.arange(4), brightness=1.2, contrast=0.9, saturation=1.1,
+        hue=0.05, grayscale=True, blur_sigma=None,
+    )
+    out4 = apply_photometric(img4, pp)
+    out3 = apply_photometric(img4[..., :3], pp)
+    assert out4.shape == (12, 12, 4)
+    np.testing.assert_allclose(out4[..., :3], out3, atol=1e-6)
+    np.testing.assert_allclose(out4[..., 3], img4[..., 3], atol=0)
+
+    # blur covers all 4 channels without crashing
+    pp_blur = PhotometricParams(
+        order=np.arange(4), brightness=None, contrast=None, saturation=None,
+        hue=None, grayscale=False, blur_sigma=1.5,
+    )
+    out_blur = apply_photometric(img4, pp_blur)
+    assert out_blur.shape == (12, 12, 4)
+    assert out_blur[..., 3].std() < img4[..., 3].std()

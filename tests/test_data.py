@@ -265,3 +265,19 @@ def test_disk_cached_dataset(synthetic_dir, tmp_path):
 
     with pytest.raises(ValueError, match="stale|was built for"):
         DiskCachedDataset(ds, cache_dir, signature={"res": 32})
+
+
+def test_knn_cache_name_encodes_potsdam_ir():
+    from stego_tpu.config import Config
+    from stego_tpu.data.contrastive import dataset_nice_name
+
+    cfg3 = Config(dataset_name="potsdam")
+    cfg4 = Config(dataset_name="potsdam", potsdam_ir=True)
+    assert dataset_nice_name(cfg3, "potsdam") == "potsdam"
+    assert dataset_nice_name(cfg4, "potsdam") == "potsdam_ir4"
+    # non-potsdam datasets never get the suffix (and the config itself
+    # rejects potsdam_ir for them)
+    import pytest
+
+    with pytest.raises(ValueError, match="potsdam_ir"):
+        Config(dataset_name="cocostuff27", potsdam_ir=True)
