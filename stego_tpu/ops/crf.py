@@ -48,36 +48,38 @@ def _gaussian_kernel_1d(std: float, radius: int) -> np.ndarray:
     return k.astype(np.float32)
 
 
-def _spatial_filter(q: jnp.ndarray, std: float) -> jnp.ndarray:
-    """Separable Gaussian filter over (B, H, W, C), self-interaction removed."""
+def _banded_gaussian_matrix(n: int, std: float) -> np.ndarray:
+    """(n, n) banded Gaussian convolution matrix (zero boundary, SAME conv)."""
     radius = max(1, int(2 * std + 0.5))
     k = _gaussian_kernel_1d(std, radius)
-    kh = jnp.asarray(k).reshape(-1, 1, 1, 1)
-    kw = jnp.asarray(k).reshape(1, -1, 1, 1)
-    c = q.shape[-1]
+    m = np.zeros((n, n), dtype=np.float32)
+    rows = np.arange(n)
+    for d in range(-radius, radius + 1):
+        cols = rows + d
+        ok = (cols >= 0) & (cols < n)
+        m[rows[ok], cols[ok]] = k[d + radius]
+    return m
 
-    def conv(x, kern):
-        return jax.lax.conv_general_dilated(
-            x, jnp.tile(kern, (1, 1, 1, c)),
-            window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )
 
-    out = conv(conv(q, kh), kw)
+def _spatial_filter_cm(q: jnp.ndarray, std: float) -> jnp.ndarray:
+    """Separable Gaussian over channel-major (B, C, H, W) as two banded
+    matmuls (the depthwise-conv formulation would put C back on the padded
+    lane axis), self-interaction removed."""
+    h, w = q.shape[-2:]
+    mh = jnp.asarray(_banded_gaussian_matrix(h, std))
+    mw = jnp.asarray(_banded_gaussian_matrix(w, std))
+    out = jnp.einsum("ih,bchw->bciw", mh, q)
+    out = jnp.einsum("jw,bciw->bcij", mw, out)
     return out - q  # remove self-interaction (k(0,0) = 1)
 
 
-def _bilateral_filter_coarse(q: jnp.ndarray, image: jnp.ndarray,
-                             stride: int) -> jnp.ndarray:
-    """Dense bilateral message computed exactly on a stride-pooled grid.
-
-    q: (B, H, W, C) current beliefs; image: (B, H, W, 3) in [0, 255].
-    Returns (B, H, W, C) messages (self-interaction approximately removed).
-    """
-    b, h, w, c = q.shape
+def _bilateral_kernel_coarse(image: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """(B, M, M) dense bilateral kernel on the stride-pooled grid. Constant
+    across mean-field iterations (it depends only on pixel positions and the
+    guidance image), so callers hoist it out of the loop — building it was
+    ~80% of the CRF's per-iteration cost."""
+    b, h, w, _ = image.shape
     hc, wc = h // stride, w // stride
-    q_c = jax.image.resize(q, (b, hc, wc, c), "linear") * (stride * stride)
     img_c = jax.image.resize(image, (b, hc, wc, 3), "linear")
 
     ys = (jnp.arange(hc, dtype=jnp.float32) + 0.5) * stride
@@ -86,8 +88,6 @@ def _bilateral_filter_coarse(q: jnp.ndarray, image: jnp.ndarray,
     pos = jnp.stack([gy.ravel(), gx.ravel()], axis=-1)  # (M, 2)
 
     feat = img_c.reshape(b, hc * wc, 3)
-    qf = q_c.reshape(b, hc * wc, c)
-
     d_pos = jnp.sum(jnp.square(pos[:, None, :] - pos[None, :, :]), axis=-1)
     d_rgb = jnp.sum(
         jnp.square(feat[:, :, None, :] - feat[:, None, :, :]), axis=-1
@@ -96,11 +96,23 @@ def _bilateral_filter_coarse(q: jnp.ndarray, image: jnp.ndarray,
         -d_pos[None] / (2 * BI_XY_STD**2) - d_rgb / (2 * BI_RGB_STD**2)
     )
     # remove (coarse) self-interaction
-    kern = kern * (1.0 - jnp.eye(hc * wc)[None])
-    msg = jnp.einsum("bmn,bnc->bmc", kern, qf,
+    return kern * (1.0 - jnp.eye(hc * wc)[None])
+
+
+def _bilateral_filter_coarse_cm(q: jnp.ndarray, kern: jnp.ndarray,
+                                stride: int) -> jnp.ndarray:
+    """Dense bilateral message on a stride-pooled grid, channel-major.
+
+    q: (B, C, H, W) current beliefs; kern: (B, M, M) from
+    :func:`_bilateral_kernel_coarse`. Returns (B, C, H, W) messages."""
+    b, c, h, w = q.shape
+    hc, wc = h // stride, w // stride
+    q_c = jax.image.resize(q, (b, c, hc, wc), "linear") * (stride * stride)
+    qf = q_c.reshape(b, c, hc * wc)
+    msg = jnp.einsum("bmn,bcn->bcm", kern, qf,
                      preferred_element_type=jnp.float32)
-    msg = msg.reshape(b, hc, wc, c)
-    return jax.image.resize(msg, (b, h, w, c), "linear")
+    msg = msg.reshape(b, c, hc, wc)
+    return jax.image.resize(msg, (b, c, h, w), "linear")
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter",))
@@ -117,18 +129,32 @@ def dense_crf(image01: jnp.ndarray, logits: jnp.ndarray,
     Returns:
       (B, H, W, C) refined class probabilities.
     """
+    from stego_tpu.ops.interp import _linear_weight_matrix
+
     b, h, w, _ = image01.shape
-    logits = interpolate(logits, (h, w), "bilinear", align_corners=False)
-    unary = jax.nn.log_softmax(logits, axis=-1)
     image = image01 * 255.0
 
-    q = jax.nn.softmax(unary, axis=-1)
+    # Channel-major (B, C, H, W) throughout the loop: the class axis C (~27)
+    # on the minor (lane) dimension pads to 128 and multiplied every
+    # elementwise/filter/resize pass by ~4.7x HBM traffic (same trap as the
+    # probe CE, ops/probe_ce.py). With W on lanes the padding is 320->384.
+    lc = jnp.transpose(logits, (0, 3, 1, 2))
+    # bilinear upsample to image res (torch semantics, matching interpolate())
+    wh = jnp.asarray(_linear_weight_matrix(h, lc.shape[2], False).astype(np.float32))
+    ww = jnp.asarray(_linear_weight_matrix(w, lc.shape[3], False).astype(np.float32))
+    lc = jnp.einsum("ih,bchw->bciw", wh, lc)
+    lc = jnp.einsum("jw,bciw->bcij", ww, lc)
+    unary = jax.nn.log_softmax(lc, axis=1)
+
+    q = jax.nn.softmax(unary, axis=1)
+    kern = _bilateral_kernel_coarse(image, BILATERAL_STRIDE)
 
     def body(_, q):
-        sp = _spatial_filter(q, POS_XY_STD)
-        bi = _bilateral_filter_coarse(q, image, BILATERAL_STRIDE)
+        sp = _spatial_filter_cm(q, POS_XY_STD)
+        bi = _bilateral_filter_coarse_cm(q, kern, BILATERAL_STRIDE)
         # Potts model: higher agreement with neighbors -> higher logit
         pairwise = POS_W * sp + BI_W * bi
-        return jax.nn.softmax(unary + pairwise, axis=-1)
+        return jax.nn.softmax(unary + pairwise, axis=1)
 
-    return jax.lax.fori_loop(0, n_iter, body, q)
+    q = jax.lax.fori_loop(0, n_iter, body, q)
+    return jnp.transpose(q, (0, 2, 3, 1))
