@@ -56,6 +56,27 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+def _mesh(n_devices: int):
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        raise ValueError(
+            f"artifact needs {n_devices} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n_devices]), ("data",))
+
+
+def _shardings(n_devices: int):
+    """(backbone, params, img) in_shardings for the SPMD export: weights
+    replicated, batch split over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh(n_devices)
+    rep = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P("data"))
+    return (rep, rep, batch)
+
+
 def _serve_fn(seg):
     """Flip-TTA inference on a [0,1] RGB(A) batch — the serving contract
     takes RAW images so the normalization constants ship inside the artifact
@@ -88,8 +109,13 @@ def _serve_fn(seg):
 
 
 def package_from_parts(seg, backbone, params, out_dir: str,
-                       res: int, batch_size: int) -> str:
-    """Export (segmenter, weights) as a serving artifact directory."""
+                       res: int, batch_size: int, n_devices: int = 1) -> str:
+    """Export (segmenter, weights) as a serving artifact directory.
+
+    ``n_devices > 1`` exports an SPMD program: the batch is sharded over a
+    1-D ``data`` mesh and the weights replicated, so the loaded artifact
+    runs data-parallel across the serving host's chips (the load-side mesh
+    is rebuilt from ``jax.devices()[:n_devices]``)."""
     from jax import export as jexport
 
     os.makedirs(out_dir, exist_ok=True)
@@ -101,10 +127,17 @@ def package_from_parts(seg, backbone, params, out_dir: str,
     }
     backbone = jax.tree.map(jnp.asarray, backbone)
     serve_params = jax.tree.map(jnp.asarray, serve_params)
+    if batch_size % n_devices:
+        raise ValueError(f"batch_size={batch_size} must divide "
+                         f"n_devices={n_devices}")
+
+    fn = jax.jit(_serve_fn(seg))
+    if n_devices > 1:
+        fn = jax.jit(_serve_fn(seg), in_shardings=_shardings(n_devices))
 
     img_spec = jax.ShapeDtypeStruct((batch_size, res, res, in_chans),
                                     jnp.float32)
-    exported = jexport.export(jax.jit(_serve_fn(seg)))(
+    exported = jexport.export(fn)(
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                      backbone),
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
@@ -121,7 +154,7 @@ def package_from_parts(seg, backbone, params, out_dir: str,
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({
             "res": res, "batch_size": batch_size, "in_chans": in_chans,
-            "n_classes": seg.n_classes,
+            "n_devices": n_devices, "n_classes": seg.n_classes,
             "extra_clusters": seg.cfg.extra_clusters,
             "input": "float32 [0,1] RGB(A), NHWC",
         }, f, indent=2)
@@ -129,12 +162,13 @@ def package_from_parts(seg, backbone, params, out_dir: str,
 
 
 def package(model_path: str, out_dir: str, res: int = 320,
-            batch_size: int = 8) -> str:
+            batch_size: int = 8, n_devices: int = 1) -> str:
     """Package a trained checkpoint (orbax dir or Lightning .ckpt)."""
     from stego_tpu.eval.evaluate import load_model_for_eval
 
     seg, backbone, params = load_model_for_eval(model_path)
-    return package_from_parts(seg, backbone, params, out_dir, res, batch_size)
+    return package_from_parts(seg, backbone, params, out_dir, res, batch_size,
+                              n_devices=n_devices)
 
 
 class ServingModel:
@@ -160,14 +194,25 @@ class ServingModel:
         call = jax.jit(exported.call)
         # device-resident weights: passing numpy trees would re-transfer the
         # whole backbone on every predict (seconds on slow links)
-        backbone = jax.tree.map(jnp.asarray, tree["backbone"])
-        params = jax.tree.map(jnp.asarray, tree["params"])
+        n_dev = int(meta.get("n_devices", 1))
+        if n_dev > 1:
+            rep, _, _ = _shardings(n_dev)
+            backbone = jax.device_put(tree["backbone"], rep)
+            params = jax.device_put(tree["params"], rep)
+        else:
+            backbone = jax.tree.map(jnp.asarray, tree["backbone"])
+            params = jax.tree.map(jnp.asarray, tree["params"])
         return cls(call, backbone, params, meta)
 
     def predict(self, img01: np.ndarray) -> Dict[str, np.ndarray]:
         """img01: (B, res, res, C) float32 in [0, 1] matching meta['res'] /
         meta['batch_size'] (pad the batch if short)."""
-        out = self._call(self._backbone, self._params, jnp.asarray(img01))
+        img = jnp.asarray(img01)
+        n_dev = int(self.meta.get("n_devices", 1))
+        if n_dev > 1:
+            _, _, bsh = _shardings(n_dev)
+            img = jax.device_put(img, bsh)
+        out = self._call(self._backbone, self._params, img)
         return jax.tree.map(np.asarray, out)
 
 
@@ -182,9 +227,11 @@ def main(argv=None):
     output_dir = args.pop("output_dir")
     res = int(args.pop("res", 320))
     batch_size = int(args.pop("batch_size", 8))
+    n_devices = int(args.pop("n_devices", 1))
     if args:  # fail on typos BEFORE the expensive export trace
         raise ValueError(f"Unknown args: {sorted(args)}")
-    out = package(model_path, output_dir, res=res, batch_size=batch_size)
+    out = package(model_path, output_dir, res=res, batch_size=batch_size,
+                  n_devices=n_devices)
     print(f"packaged serving artifact at {out}")
 
 

@@ -5,6 +5,7 @@ StableHLO path with weights reloaded from the npz."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stego_tpu.config import Config
 from stego_tpu.models.vit import ViTConfig, init_vit_params
@@ -58,3 +59,31 @@ def test_weights_roundtrip_flatten():
     assert set(flat) == {"a//b", "a//c//d", "e"}
     np.testing.assert_array_equal(back["a"]["c"]["d"], tree["a"]["c"]["d"])
     np.testing.assert_array_equal(back["e"], tree["e"])
+
+
+def test_spmd_package_matches_single_device(tmp_path):
+    """n_devices=8 export: batch sharded over the data mesh, same outputs as
+    the 1-device artifact (sharding is layout, not semantics)."""
+    seg, backbone, params = _parts()
+    d1 = package_from_parts(seg, backbone, params, str(tmp_path / "d1"),
+                            res=16, batch_size=8, n_devices=1)
+    d8 = package_from_parts(seg, backbone, params, str(tmp_path / "d8"),
+                            res=16, batch_size=8, n_devices=8)
+
+    img01 = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(5), (8, 16, 16, 3)))
+    out1 = ServingModel.load(d1).predict(img01)
+    m8 = ServingModel.load(d8)
+    assert m8.meta["n_devices"] == 8
+    out8 = m8.predict(img01)
+    np.testing.assert_allclose(out8["linear_probs"], out1["linear_probs"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(out8["cluster_preds"],
+                                  out1["cluster_preds"])
+
+
+def test_spmd_package_batch_divisibility():
+    seg, backbone, params = _parts()
+    with pytest.raises(ValueError, match="divide"):
+        package_from_parts(seg, backbone, params, "/tmp/nope", res=16,
+                           batch_size=6, n_devices=4)
