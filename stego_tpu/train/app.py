@@ -154,6 +154,26 @@ def make_datasets(cfg: Config):
         cfg=cfg,
         seed=cfg.seed,
     )
+    # validation re-runs every val_freq steps — cache its decode too (the
+    # 1-core host decodes ~46 imgs/s; a large val set would dominate the
+    # validation epoch otherwise)
+    if cfg.cache_dataset_dir:
+        from stego_tpu.data.loader import DiskCachedDataset
+
+        nice = cfg.dir_dataset_name if cfg.dataset_name == "directory" \
+            else cfg.dataset_name
+        val_dataset.dataset = DiskCachedDataset(
+            val_dataset.dataset,
+            join(cfg.cache_dataset_dir, f"{nice}_val_None_{cfg.val_res}"),
+            signature={"res": cfg.val_res, "crop_type": "None",
+                       "image_set": "val",
+                       "loader_crop": str(val_loader_crop),
+                       "potsdam_ir": cfg.potsdam_ir},
+        )
+    if cfg.cache_dataset:
+        from stego_tpu.data.loader import CachedDataset
+
+        val_dataset.dataset = CachedDataset(val_dataset.dataset)
     return train_dataset, val_dataset
 
 

@@ -324,3 +324,35 @@ def test_train_step_potsdam_ir_4ch():
     new_state, metrics = step(backbone, state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss/total"]))
     assert int(new_state["step"]) == 1
+
+
+def test_train_step_potsdam_ir_with_device_augs():
+    """4-channel input + device augs together: color ops on RGB, IR carried
+    through the geometric/blur path inside the jitted step."""
+    import jax
+
+    from stego_tpu.models.vit import ViTConfig, init_vit_params
+    from stego_tpu.train.segmenter import UnsupervisedSegmenter, make_train_step
+
+    tiny = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                     img_size=16, in_chans=4)
+    cfg = Config(dataset_name="potsdam", res=16, dim=6, feature_samples=3,
+                 neg_samples=1, crop_type=None, backbone_dtype="float32",
+                 batch_size=2, potsdam_ir=True, aug_alignment_weight=0.1)
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=tiny)
+    backbone = init_vit_params(jax.random.PRNGKey(0), tiny)
+    state = seg.init_state(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    batch = {
+        "img": jax.random.normal(key, (2, 16, 16, 4)),
+        "img_pos": jax.random.normal(jax.random.fold_in(key, 1),
+                                     (2, 16, 16, 4)),
+        "label": jax.random.randint(jax.random.fold_in(key, 2), (2, 16, 16),
+                                    -1, 3),
+        "label_pos": jax.random.randint(jax.random.fold_in(key, 3),
+                                        (2, 16, 16), -1, 3),
+    }
+    step = jax.jit(make_train_step(seg))
+    _, metrics = step(backbone, state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss/aug_alignment"]))
+    assert float(metrics["loss/aug_alignment"]) < 0
