@@ -233,9 +233,11 @@ def _adjust_hue(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _shift_bands(n: int):
+def _shift_bands_np(n: int):
     """(2*BLUR_HALF+1, n, n) one-hot shift matrices with edge-extend clamping
-    (out-of-range taps accumulate on the edge pixel)."""
+    (out-of-range taps accumulate on the edge pixel). Cached as NUMPY — a
+    cached jnp array created under one jit trace would leak that trace's
+    tracer into later traces."""
     import numpy as np
 
     bands = np.zeros((2 * BLUR_HALF + 1, n, n), dtype=np.float32)
@@ -243,7 +245,11 @@ def _shift_bands(n: int):
     for d in range(-BLUR_HALF, BLUR_HALF + 1):
         cols = np.clip(rows + d, 0, n - 1)
         np.add.at(bands[d + BLUR_HALF], (rows, cols), 1.0)
-    return jnp.asarray(bands)
+    return bands
+
+
+def _shift_bands(n: int):
+    return jnp.asarray(_shift_bands_np(n))
 
 
 def _gaussian_blur(img: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:

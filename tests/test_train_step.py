@@ -356,3 +356,30 @@ def test_train_step_potsdam_ir_with_device_augs():
     _, metrics = step(backbone, state, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss/aug_alignment"]))
     assert float(metrics["loss/aug_alignment"]) < 0
+
+
+def test_train_step_sharded_device_augs_matches_single(cpu_devices):
+    """DDP-equivalence holds with the device-side augmentation in the graph:
+    aug parameters come from a replicated key, so the augmented view (and the
+    whole loss) is identical under any batch sharding."""
+    from stego_tpu.parallel.mesh import batch_sharding, make_mesh, \
+        replicated_sharding
+
+    cfg, seg, backbone, state = tiny_setup(aug_alignment_weight=0.1,
+                                           device_augs=True)
+    batch = synthetic_batch(jr.PRNGKey(20))
+    key = jr.PRNGKey(21)
+    train_step = make_train_step(seg)
+    _, m1 = jax.jit(train_step)(backbone, state, batch, key)
+
+    mesh = make_mesh()
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    _, m8 = jax.jit(train_step)(
+        jax.device_put(backbone, rs), jax.device_put(state, rs),
+        jax.tree.map(lambda a: jax.device_put(a, bs), batch), key,
+    )
+    np.testing.assert_allclose(float(m1["loss/aug_alignment"]),
+                               float(m8["loss/aug_alignment"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(m1["loss/total"]),
+                               float(m8["loss/total"]), rtol=1e-4, atol=1e-5)
