@@ -43,24 +43,46 @@ class CheckpointManager:
         self._backbone_saved = os.path.exists(
             os.path.join(self.directory, "backbone")
         )
+        self._backbone_thread = None
 
     def save_backbone(self, backbone_params) -> None:
         """The frozen backbone is saved once, outside the managed steps.
 
-        Fetched to host FIRST: handing sharded device arrays to orbax routes
-        them through its replica-slice transfer, which on tunneled platforms
+        Runs in a background thread: the ~86 MB device_get can take seconds
+        to minutes on a degraded tunnel, and the backbone never changes —
+        training must not gate its start on it. Fetched to host FIRST inside
+        the thread: handing sharded device arrays to orbax routes them
+        through its replica-slice transfer, which on tunneled platforms
         degenerates to whole-buffer pulls per slice (measured 371 s vs 34 s
-        for the ViT-S backbone — 11x). One bulk device_get, then orbax only
-        sees numpy."""
-        if self._backbone_saved:
+        for the ViT-S backbone — 11x). ``wait_until_finished``/``close``
+        barrier on completion."""
+        if self._backbone_saved or self._backbone_thread is not None:
             return
+        import threading
+
         import jax
 
         path = os.path.join(self.directory, "backbone")
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(backbone_params))
-        ckptr.wait_until_finished()
-        self._backbone_saved = True
+
+        def _save():
+            # the SYNCHRONOUS checkpointer: an async StandardCheckpointer in
+            # a secondary thread races the manager's async saves for orbax's
+            # global signaling-contract keys (observed TimeoutError on
+            # 'awaitable_signals_contract_*'); blocking inside this thread
+            # is exactly the point anyway
+            ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+            ckptr.save(path, args=ocp.args.StandardSave(
+                jax.device_get(backbone_params)))
+            self._backbone_saved = True
+
+        self._backbone_thread = threading.Thread(target=_save, daemon=True)
+        self._backbone_thread.start()
+
+    def _join_backbone(self) -> None:
+        t = self._backbone_thread
+        if t is not None:
+            t.join()
+            self._backbone_thread = None
 
     def save(self, step: int, state: Dict[str, Any],
              metrics: Optional[Dict[str, float]] = None) -> None:
@@ -74,6 +96,7 @@ class CheckpointManager:
         )
 
     def wait_until_finished(self) -> None:
+        self._join_backbone()
         self._mgr.wait_until_finished()
 
     def save_preemption(self, step: int, state: Dict[str, Any],
@@ -127,6 +150,7 @@ class CheckpointManager:
         return step, state
 
     def restore_backbone(self, template=None):
+        self._join_backbone()
         path = os.path.join(self.directory, "backbone")
         return ocp.StandardCheckpointer().restore(path, template)
 
@@ -137,6 +161,7 @@ class CheckpointManager:
         return self._mgr.all_steps()
 
     def close(self):
+        self._join_backbone()
         self._mgr.close()
 
 
