@@ -168,6 +168,12 @@ def evaluate(
         )
 
     mesh = make_mesh(eval_cfg.num_devices)
+    from stego_tpu.parallel.mesh import adapt_cfg_for_mesh
+
+    adapted = adapt_cfg_for_mesh(seg.cfg, mesh, for_training=False)
+    if adapted is not seg.cfg:
+        seg = UnsupervisedSegmenter(seg.n_classes, adapted,
+                                    vit_cfg=seg.vit_cfg)
     bs_shard = batch_sharding(mesh)
     rs = replicated_sharding(mesh)
     backbone = jax.device_put(backbone, rs)

@@ -35,6 +35,39 @@ def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def adapt_cfg_for_mesh(cfg, mesh: Mesh, for_training: bool = True):
+    """Disable the custom Pallas kernels when the mesh spans >1 device.
+
+    XLA cannot auto-partition Mosaic (Pallas) kernels under GSPMD
+    ("Mosaic kernels cannot be automatically partitioned" at compile time on
+    real multi-chip TPUs — the CPU dryrun masks this because interpret-mode
+    Pallas lowers to plain lax ops). The einsum attention and correlation
+    paths are mathematically identical (oracle-tested) and partition
+    cleanly, preserving the global-negative semantics and DDP-equivalence;
+    the kernels remain the single-chip fast path. Dense full-field loss has
+    no einsum fallback (it exists precisely because the einsum formulation
+    cannot materialize HW x HW) and raises."""
+    if mesh.devices.size <= 1:
+        return cfg
+    changes = {}
+    if cfg.use_flash_attention is not False:
+        changes["use_flash_attention"] = False
+    if cfg.use_pallas_loss:
+        changes["use_pallas_loss"] = False
+    if cfg.full_field_loss and for_training:
+        raise ValueError(
+            "full_field_loss=true is single-chip-only for now: the dense "
+            "(HW x HW) objective exists only as a Pallas kernel, and Mosaic "
+            "kernels cannot be auto-partitioned over a multi-device mesh."
+        )
+    if changes:
+        print(f"multi-device mesh ({mesh.devices.size}): using einsum "
+              f"attention/correlation paths ({sorted(changes)} overridden — "
+              "Pallas kernels cannot be auto-partitioned)")
+        cfg = cfg.replace(**changes)
+    return cfg
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

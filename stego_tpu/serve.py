@@ -66,15 +66,22 @@ def _mesh(n_devices: int):
     return Mesh(np.array(devs[:n_devices]), ("data",))
 
 
-def _shardings(n_devices: int):
-    """(backbone, params, img) in_shardings for the SPMD export: weights
-    replicated, batch split over the data axis."""
+def _shardings(mesh):
+    """(backbone, params, img) shardings: weights replicated, batch split
+    over the data axis. ``mesh`` may be a concrete Mesh (load side) or an
+    AbstractMesh (export side — packaging a multi-chip artifact must not
+    require the packaging host to own the chips)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    mesh = _mesh(n_devices)
     rep = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P("data"))
     return (rep, rep, batch)
+
+
+def _abstract_mesh(n_devices: int):
+    from jax.sharding import AbstractMesh
+
+    return AbstractMesh((n_devices,), ("data",))
 
 
 def _serve_fn(seg):
@@ -128,12 +135,23 @@ def package_from_parts(seg, backbone, params, out_dir: str,
     backbone = jax.tree.map(jnp.asarray, backbone)
     serve_params = jax.tree.map(jnp.asarray, serve_params)
     if batch_size % n_devices:
-        raise ValueError(f"batch_size={batch_size} must divide "
-                         f"n_devices={n_devices}")
+        raise ValueError(f"n_devices={n_devices} must divide "
+                         f"batch_size={batch_size}")
+    if n_devices > 1 and getattr(seg.net, "use_flash_attention", False):
+        # Mosaic (Pallas) kernels cannot be auto-partitioned under GSPMD;
+        # the einsum attention path is oracle-identical and shards cleanly
+        from stego_tpu.train.segmenter import UnsupervisedSegmenter
 
-    fn = jax.jit(_serve_fn(seg))
-    if n_devices > 1:
-        fn = jax.jit(_serve_fn(seg), in_shardings=_shardings(n_devices))
+        seg = UnsupervisedSegmenter(
+            seg.n_classes, seg.cfg.replace(use_flash_attention=False),
+            vit_cfg=seg.vit_cfg,
+        )
+
+    fn = jax.jit(
+        _serve_fn(seg),
+        in_shardings=(_shardings(_abstract_mesh(n_devices))
+                      if n_devices > 1 else None),
+    )
 
     img_spec = jax.ShapeDtypeStruct((batch_size, res, res, in_chans),
                                     jnp.float32)
@@ -175,10 +193,12 @@ class ServingModel:
     """Loads a packaged artifact and serves predictions — no model code, no
     config system, no checkpoint manager; just StableHLO + weights."""
 
-    def __init__(self, call, backbone, params, meta: Dict[str, Any]):
+    def __init__(self, call, backbone, params, meta: Dict[str, Any],
+                 batch_sharding=None):
         self._call = call
         self._backbone = backbone
         self._params = params
+        self._batch_sharding = batch_sharding
         self.meta = meta
 
     @classmethod
@@ -195,23 +215,25 @@ class ServingModel:
         # device-resident weights: passing numpy trees would re-transfer the
         # whole backbone on every predict (seconds on slow links)
         n_dev = int(meta.get("n_devices", 1))
+        bsh = None
         if n_dev > 1:
-            rep, _, _ = _shardings(n_dev)
+            rep, _, bsh = _shardings(_mesh(n_dev))
             backbone = jax.device_put(tree["backbone"], rep)
             params = jax.device_put(tree["params"], rep)
         else:
             backbone = jax.tree.map(jnp.asarray, tree["backbone"])
             params = jax.tree.map(jnp.asarray, tree["params"])
-        return cls(call, backbone, params, meta)
+        return cls(call, backbone, params, meta, batch_sharding=bsh)
 
     def predict(self, img01: np.ndarray) -> Dict[str, np.ndarray]:
         """img01: (B, res, res, C) float32 in [0, 1] matching meta['res'] /
         meta['batch_size'] (pad the batch if short)."""
-        img = jnp.asarray(img01)
-        n_dev = int(self.meta.get("n_devices", 1))
-        if n_dev > 1:
-            _, _, bsh = _shardings(n_dev)
-            img = jax.device_put(img, bsh)
+        if self._batch_sharding is not None:
+            # one transfer, straight to the sharded layout (jnp.asarray would
+            # commit to device 0 first and reshard device-to-device)
+            img = jax.device_put(np.asarray(img01), self._batch_sharding)
+        else:
+            img = jnp.asarray(img01)
         out = self._call(self._backbone, self._params, img)
         return jax.tree.map(np.asarray, out)
 

@@ -124,24 +124,32 @@ def make_datasets(cfg: Config):
         if cfg.loader_crop_type == "random":
             raise ValueError("cache_dataset requires a deterministic "
                              "loader_crop_type (not 'random')")
-    if cfg.cache_dataset_dir:
-        from stego_tpu.data.loader import DiskCachedDataset
+    def _wrap_cached(inner, image_set, res, crop_type, loader_crop):
+        """Apply the configured decode caches (one shared naming/signature
+        scheme for both splits)."""
+        if cfg.cache_dataset_dir:
+            from stego_tpu.data.loader import DiskCachedDataset
 
-        nice = cfg.dir_dataset_name if cfg.dataset_name == "directory" \
-            else cfg.dataset_name
-        train_dataset.dataset = DiskCachedDataset(
-            train_dataset.dataset,
-            join(cfg.cache_dataset_dir,
-                 f"{nice}_train_{cfg.crop_type}_{cfg.res}"),
-            signature={"res": cfg.res, "crop_type": str(cfg.crop_type),
-                       "image_set": "train",
-                       "loader_crop": str(cfg.loader_crop_type),
-                       "potsdam_ir": cfg.potsdam_ir},
-        )
-    if cfg.cache_dataset:
-        from stego_tpu.data.loader import CachedDataset
+            nice = cfg.dir_dataset_name if cfg.dataset_name == "directory" \
+                else cfg.dataset_name
+            inner = DiskCachedDataset(
+                inner,
+                join(cfg.cache_dataset_dir,
+                     f"{nice}_{image_set}_{crop_type}_{res}"),
+                signature={"res": res, "crop_type": str(crop_type),
+                           "image_set": image_set,
+                           "loader_crop": str(loader_crop),
+                           "potsdam_ir": cfg.potsdam_ir},
+            )
+        if cfg.cache_dataset:
+            from stego_tpu.data.loader import CachedDataset
 
-        train_dataset.dataset = CachedDataset(train_dataset.dataset)
+            inner = CachedDataset(inner)
+        return inner
+
+    train_dataset.dataset = _wrap_cached(
+        train_dataset.dataset, "train", cfg.res, cfg.crop_type,
+        cfg.loader_crop_type)
     val_loader_crop = None if cfg.dataset_name == "voc" else "center"
     val_dataset = ContrastiveSegDataset(
         pytorch_data_dir=cfg.pytorch_data_dir,
@@ -157,23 +165,8 @@ def make_datasets(cfg: Config):
     # validation re-runs every val_freq steps — cache its decode too (the
     # 1-core host decodes ~46 imgs/s; a large val set would dominate the
     # validation epoch otherwise)
-    if cfg.cache_dataset_dir:
-        from stego_tpu.data.loader import DiskCachedDataset
-
-        nice = cfg.dir_dataset_name if cfg.dataset_name == "directory" \
-            else cfg.dataset_name
-        val_dataset.dataset = DiskCachedDataset(
-            val_dataset.dataset,
-            join(cfg.cache_dataset_dir, f"{nice}_val_None_{cfg.val_res}"),
-            signature={"res": cfg.val_res, "crop_type": "None",
-                       "image_set": "val",
-                       "loader_crop": str(val_loader_crop),
-                       "potsdam_ir": cfg.potsdam_ir},
-        )
-    if cfg.cache_dataset:
-        from stego_tpu.data.loader import CachedDataset
-
-        val_dataset.dataset = CachedDataset(val_dataset.dataset)
+    val_dataset.dataset = _wrap_cached(
+        val_dataset.dataset, "val", cfg.val_res, None, val_loader_crop)
     return train_dataset, val_dataset
 
 
@@ -306,6 +299,9 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         train_dataset, val_dataset = make_datasets(cfg)
 
     n_classes = train_dataset.n_classes
+    from stego_tpu.parallel.mesh import adapt_cfg_for_mesh
+
+    cfg = adapt_cfg_for_mesh(cfg, make_mesh(cfg.num_devices))
     seg = UnsupervisedSegmenter(n_classes, cfg, vit_cfg=vit_cfg)
 
     key = jax.random.PRNGKey(cfg.seed)

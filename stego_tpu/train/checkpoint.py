@@ -44,6 +44,7 @@ class CheckpointManager:
             os.path.join(self.directory, "backbone")
         )
         self._backbone_thread = None
+        self._backbone_error = None
 
     def save_backbone(self, backbone_params) -> None:
         """The frozen backbone is saved once, outside the managed steps.
@@ -70,10 +71,13 @@ class CheckpointManager:
             # global signaling-contract keys (observed TimeoutError on
             # 'awaitable_signals_contract_*'); blocking inside this thread
             # is exactly the point anyway
-            ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
-            ckptr.save(path, args=ocp.args.StandardSave(
-                jax.device_get(backbone_params)))
-            self._backbone_saved = True
+            try:
+                ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+                ckptr.save(path, args=ocp.args.StandardSave(
+                    jax.device_get(backbone_params)))
+                self._backbone_saved = True
+            except BaseException as e:  # re-raised at the next join point
+                self._backbone_error = e
 
         self._backbone_thread = threading.Thread(target=_save, daemon=True)
         self._backbone_thread.start()
@@ -83,6 +87,9 @@ class CheckpointManager:
         if t is not None:
             t.join()
             self._backbone_thread = None
+        if self._backbone_error is not None:
+            e, self._backbone_error = self._backbone_error, None
+            raise RuntimeError("background backbone save failed") from e
 
     def save(self, step: int, state: Dict[str, Any],
              metrics: Optional[Dict[str, float]] = None) -> None:

@@ -42,6 +42,9 @@ def precompute_knns(
     seg_net = None
     backbone = None
     mesh = make_mesh(cfg.num_devices)
+    from stego_tpu.parallel.mesh import adapt_cfg_for_mesh
+
+    cfg = adapt_cfg_for_mesh(cfg, mesh, for_training=False)
     written = []
     for crop_type in crop_types:
         for image_set in image_sets:
