@@ -80,6 +80,7 @@ class DinoFeaturizer:
         dropout_p: float = 0.1,
         backbone_dtype=jnp.float32,
         use_flash_attention: bool | None = None,
+        mesh=None,
     ):
         if feat_type not in ("feat", "KK"):
             raise ValueError(f"Unknown feat type: {feat_type}")
@@ -96,6 +97,10 @@ class DinoFeaturizer:
             # torch-oracle parity and fast test compiles.
             use_flash_attention = backbone_dtype == jnp.bfloat16
         self.use_flash_attention = use_flash_attention
+        # >1-device mesh: attention kernels run per batch shard (shard_map) —
+        # the fast path survives multi-chip (parallel/mesh.py:shard_kernel)
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
+            else None
         # both 'feat' (tokens) and 'KK' (heads*head_dim) have embed_dim channels
         self.n_feats = vit_cfg.embed_dim
 
@@ -122,6 +127,7 @@ class DinoFeaturizer:
         feats, _, qkvs = vit_get_intermediate_feat(
             backbone_params, img, cfg, n=1, dtype=self.backbone_dtype,
             want_attn_qkv=want_qkv, use_flash=self.use_flash_attention,
+            mesh=self.mesh,
         )
         if self.feat_type == "feat":
             image_feat = feats[0][:, 1:, :].reshape(b, hp, wp, cfg.embed_dim)

@@ -130,7 +130,7 @@ def _layer_norm(p: Dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 def _attention(
     p: Dict, x: jnp.ndarray, num_heads: int, want_qkv: bool,
-    use_flash: bool = False,
+    use_flash: bool = False, mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     """Self-attention block (reference Attention.forward,
     vision_transformer.py:78-90). Returns (out, attn, qkv).
@@ -148,7 +148,7 @@ def _attention(
     if use_flash and not want_qkv:
         from stego_tpu.ops.flash_attention import trunk_attention
 
-        out = trunk_attention(q, k, v, scale)  # None when einsum is faster
+        out = trunk_attention(q, k, v, scale, mesh=mesh)  # None -> einsum
         attn = None
     if out is None:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -167,13 +167,14 @@ def _attention(
 
 def _block(
     p: Dict, x: jnp.ndarray, cfg: ViTConfig, want_qkv: bool = False,
-    use_flash: bool = False,
+    use_flash: bool = False, mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     """Pre-LN transformer block (reference Block.forward,
     vision_transformer.py:106-114). DropPath is identity: DINO eval / frozen
     backbone never enables stochastic depth."""
     y, attn, qkv = _attention(p["attn"], _layer_norm(p["norm1"], x, cfg.ln_eps),
-                              cfg.num_heads, want_qkv, use_flash=use_flash)
+                              cfg.num_heads, want_qkv, use_flash=use_flash,
+                              mesh=mesh)
     x = x + y
     h = _layer_norm(p["norm2"], x, cfg.ln_eps)
     h = h @ p["mlp"]["fc1_kernel"].astype(x.dtype) + p["mlp"]["fc1_bias"].astype(x.dtype)
@@ -241,6 +242,7 @@ def vit_get_intermediate_feat(
     dtype=jnp.float32,
     want_attn_qkv: bool = True,
     use_flash: bool | None = None,
+    mesh=None,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], List[jnp.ndarray]]:
     """Normed tokens (+ attention, qkv) of the last ``n`` blocks.
 
@@ -271,13 +273,13 @@ def vit_get_intermediate_feat(
             for i in range(n_scan):
                 blk = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
                 x, _, _ = _block(blk, x, cfg, want_qkv=False,
-                                 use_flash=use_flash)
+                                 use_flash=use_flash, mesh=mesh)
         else:
             scan_params = jax.tree.map(lambda a: a[:n_scan], params["blocks"])
 
             def body(carry, blk):
                 out, _, _ = _block(blk, carry, cfg, want_qkv=False,
-                                   use_flash=use_flash)
+                                   use_flash=use_flash, mesh=mesh)
                 return out, None
 
             x, _ = jax.lax.scan(body, x, scan_params)
@@ -286,7 +288,7 @@ def vit_get_intermediate_feat(
     for i in range(n_scan, cfg.depth):
         blk = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
         x, attn, qkv = _block(blk, x, cfg, want_qkv=want_attn_qkv,
-                              use_flash=use_flash)
+                              use_flash=use_flash, mesh=mesh)
         feats.append(_layer_norm(params["norm"], x, cfg.ln_eps).astype(jnp.float32))
         attns.append(attn)
         qkvs.append(qkv)

@@ -65,51 +65,59 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-    interpret: bool | None = None,
+    interpret: bool | None = None, mesh=None,
 ) -> jnp.ndarray:
     """softmax(q kᵀ · scale) v without materializing the attention matrix.
 
     Args:
       q, k, v: (B, H, N, d). Forward-only (no VJP — the trunk is frozen).
+      mesh: a >1-device Mesh runs the kernel per batch shard (shard_map; the
+        kernel is purely batch-parallel, no collectives needed).
     Returns: (B, H, N, d), same dtype as v.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, h, n, d = q.shape
-    bh = b * h
+    n, d = q.shape[2], q.shape[3]
     n_pad = -(-n // TQ) * TQ
     d_pad = max(-(-d // 128) * 128, 128)
+    nk = n_pad // TK
 
-    def prep(t):
-        t = t.reshape(bh, n, d)
-        return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+    def run(q, k, v):
+        b, h = q.shape[0], q.shape[1]
+        bh = b * h
 
-    qp, kp, vp = prep(q), prep(k), prep(v)
-    nq, nk = n_pad // TQ, n_pad // TK
+        def prep(t):
+            t = t.reshape(bh, n, d)
+            return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, n_real=n,
-                          n_k_tiles=nk),
-        grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, TQ, d_pad), lambda b, q, k: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, d_pad), lambda b, q, k: (b, k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, d_pad), lambda b, q, k: (b, k, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TQ, d_pad), lambda b, q, k: (b, q, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), v.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((TQ, 128), jnp.float32),
-            pltpu.VMEM((TQ, 128), jnp.float32),
-            pltpu.VMEM((TQ, d_pad), jnp.float32),
-        ],
-        interpret=bool(interpret),
-    )(qp, kp, vp)
-    out = out[:, :n, :d].reshape(b, h, n, d)
+        qp, kp, vp = prep(q), prep(k), prep(v)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, scale=scale, n_real=n,
+                              n_k_tiles=nk),
+            grid=(bh, n_pad // TQ, nk),
+            in_specs=[
+                pl.BlockSpec((1, TQ, d_pad), lambda b, q, k: (b, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, d_pad), lambda b, q, k: (b, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, d_pad), lambda b, q, k: (b, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TQ, d_pad), lambda b, q, k: (b, q, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), v.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((TQ, 128), jnp.float32),
+                pltpu.VMEM((TQ, 128), jnp.float32),
+                pltpu.VMEM((TQ, d_pad), jnp.float32),
+            ],
+            interpret=bool(interpret),
+        )(qp, kp, vp)
+        return out[:, :n, :d].reshape(b, h, n, d)
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    out = shard_kernel(run, mesh, 3)(q, k, v)
     return jax.lax.stop_gradient(out)
 
 
@@ -135,7 +143,7 @@ RESIDENT_MAX_N = 1152
 
 def resident_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-    interpret: bool | None = None,
+    interpret: bool | None = None, mesh=None,
 ) -> jnp.ndarray:
     """Whole-sequence-per-head attention entirely in VMEM.
 
@@ -145,27 +153,35 @@ def resident_attention(
     at N=785, b*h=192, v5e) and the streaming kernel. Forward-only."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, h, n, d = q.shape
-    bh = b * h
+    n, d = q.shape[2], q.shape[3]
     n_pad = -(-n // 128) * 128
     assert n_pad <= RESIDENT_MAX_N, "use flash_attention for long sequences"
 
-    def prep(t):
-        return jnp.pad(t.reshape(bh, n, d), ((0, 0), (0, n_pad - n), (0, 0)))
+    def run(q, k, v):
+        b, h = q.shape[0], q.shape[1]
+        bh = b * h
 
-    out = pl.pallas_call(
-        functools.partial(_resident_kernel, scale=scale, n_real=n),
-        grid=(bh,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        out_specs=pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
-        interpret=bool(interpret),
-    )(prep(q), prep(k), prep(v))
-    out = out[:, :n, :].reshape(b, h, n, d)
+        def prep(t):
+            return jnp.pad(t.reshape(bh, n, d),
+                           ((0, 0), (0, n_pad - n), (0, 0)))
+
+        out = pl.pallas_call(
+            functools.partial(_resident_kernel, scale=scale, n_real=n),
+            grid=(bh,),
+            in_specs=[
+                pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 3,
+            out_specs=pl.BlockSpec((1, n_pad, d), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+            interpret=bool(interpret),
+        )(prep(q), prep(k), prep(v))
+        return out[:, :n, :].reshape(b, h, n, d)
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    out = shard_kernel(run, mesh, 3)(q, k, v)
     return jax.lax.stop_gradient(out)
 
 
@@ -206,27 +222,33 @@ def _batch_resident_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_heads):
 
 def batch_resident_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-    interpret: bool | None = None,
+    interpret: bool | None = None, mesh=None,
 ) -> jnp.ndarray:
     """VMEM-resident attention, one batch element (all heads) per grid step."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, h, n, d = q.shape
+    _, h, n, d = q.shape
     n_pad = -(-n // 128) * 128
     assert n_pad <= RESIDENT_MAX_N, "use flash_attention for long sequences"
 
-    out = pl.pallas_call(
-        functools.partial(_batch_resident_kernel, scale=scale, n_heads=h),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
-        interpret=bool(interpret),
-    )(q, k, v)
+    def run(q, k, v):
+        b = q.shape[0]
+        return pl.pallas_call(
+            functools.partial(_batch_resident_kernel, scale=scale, n_heads=h),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ] * 3,
+            out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
+            interpret=bool(interpret),
+        )(q, k, v)
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    out = shard_kernel(run, mesh, 3)(q, k, v)
     return jax.lax.stop_gradient(out)
 
 
@@ -261,7 +283,7 @@ TQ_KV = 512  # query rows per grid step in the kv-resident kernel
 
 def kv_resident_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
-    interpret: bool | None = None,
+    interpret: bool | None = None, mesh=None,
 ) -> jnp.ndarray:
     """Long-sequence attention with K/V resident in VMEM (res-448 regime).
 
@@ -276,45 +298,63 @@ def kv_resident_attention(
     ~9 s where the einsum-in-scan trunk takes ~280 s cold."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, h, n, d = q.shape
-    bh = b * h
+    n, d = q.shape[2], q.shape[3]
     nq_pad = -(-n // TQ_KV) * TQ_KV
     nk_pad = -(-n // 128) * 128
 
-    def prep(t, n_pad):
-        t = t.reshape(bh, n, d)
-        return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, 0)))
+    def run(q, k, v):
+        b, h = q.shape[0], q.shape[1]
+        bh = b * h
 
-    qp = prep(q, nq_pad)
-    kp, vp = prep(k, nk_pad), prep(v, nk_pad)
-    out = pl.pallas_call(
-        functools.partial(_kv_resident_kernel, scale=scale, n_real=n),
-        grid=(bh, nq_pad // TQ_KV),
-        in_specs=[
-            pl.BlockSpec((1, TQ_KV, d), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, d), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, d), lambda i, t: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TQ_KV, d), lambda i, t: (i, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), v.dtype),
-        interpret=bool(interpret),
-    )(qp, kp, vp)
-    out = out[:, :n, :].reshape(b, h, n, d)
+        def prep(t, n_pad):
+            t = t.reshape(bh, n, d)
+            return jnp.pad(t, ((0, 0), (0, n_pad - n), (0, 0)))
+
+        qp = prep(q, nq_pad)
+        kp, vp = prep(k, nk_pad), prep(v, nk_pad)
+        out = pl.pallas_call(
+            functools.partial(_kv_resident_kernel, scale=scale, n_real=n),
+            grid=(bh, nq_pad // TQ_KV),
+            in_specs=[
+                pl.BlockSpec((1, TQ_KV, d), lambda i, t: (i, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk_pad, d), lambda i, t: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk_pad, d), lambda i, t: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TQ_KV, d), lambda i, t: (i, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), v.dtype),
+            interpret=bool(interpret),
+        )(qp, kp, vp)
+        return out[:, :n, :].reshape(b, h, n, d)
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    out = shard_kernel(run, mesh, 3)(q, k, v)
     return jax.lax.stop_gradient(out)
 
 
-def trunk_attention(q, k, v, scale):
+# largest padded N the kv-resident kernel takes: its (TQ_KV, N_pad) f32
+# logits tile + K/V residency must fit VMEM with double-buffering headroom
+# (at 4096: 512*4096*4 = 8.4 MB logits + ~2 MB bf16 K/V). Beyond this,
+# trunk_attention returns None and the caller's einsum path runs — a
+# graceful fallback instead of a VMEM OOM at compile time.
+KV_RESIDENT_MAX_N = 4096
+
+
+def trunk_attention(q, k, v, scale, mesh=None):
     """Best forward-only attention for the frozen trunk: the VMEM-resident
     kernel when the whole (N x N) logits tile fits, the kv-resident kernel
-    for longer sequences (res-448: measured vs einsum below)."""
+    for longer sequences (res-448: measured vs einsum below), or None —
+    meaning "use the einsum path" — when even that would blow VMEM."""
     n_pad = -(-q.shape[2] // 128) * 128
     if n_pad <= RESIDENT_MAX_N:
-        return batch_resident_attention(q, k, v, scale)
-    return kv_resident_attention(q, k, v, scale)
+        return batch_resident_attention(q, k, v, scale, mesh=mesh)
+    if n_pad <= KV_RESIDENT_MAX_N:
+        return kv_resident_attention(q, k, v, scale, mesh=mesh)
+    return None
 
 
 def _packed_kernel(qkv_ref, o_ref, *, scale):

@@ -69,6 +69,8 @@ class _Static(NamedTuple):
     stabalize: bool
     n_real: int
     interpret: bool
+    mesh: object = None             # jax Mesh (hashable): >1 device runs the
+                                    # kernels per batch shard via shard_map
 
 
 def _clamp_bounds(st: _Static) -> Tuple[float, float]:
@@ -116,29 +118,35 @@ def _fwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, acc_ref, *, lo, hi):
 
 
 def _run_fwd(f1, f2, c1, c2, st: _Static):
-    b, n_pad, cf = f1.shape
-    cc = c1.shape[-1]
-    nq, nk = n_pad // TQ, n_pad // TK
     lo, hi = _clamp_bounds(st)
 
-    acc = pl.pallas_call(
-        functools.partial(_fwd_kernel, lo=lo, hi=hi),
-        grid=(b, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, TQ, cf), lambda b, q, k: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, cf), lambda b, q, k: (b, k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, cc), lambda b, q, k: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, cc), lambda b, q, k: (b, k, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, n_pad), lambda b, q, k: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
-        interpret=st.interpret,
-    )(f1, f2, c1, c2)
+    def run(f1, f2, c1, c2):
+        # shapes derived from the args: per-shard under shard_map on a mesh
+        b, n_pad, cf = f1.shape
+        cc = c1.shape[-1]
+        nq, nk = n_pad // TQ, n_pad // TK
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, lo=lo, hi=hi),
+            grid=(b, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, TQ, cf), lambda b, q, k: (b, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, cf), lambda b, q, k: (b, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TQ, cc), lambda b, q, k: (b, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TK, cc), lambda b, q, k: (b, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, n_pad), lambda b, q, k: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
+            interpret=st.interpret,
+        )(f1, f2, c1, c2)
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    acc = shard_kernel(run, st.mesh, 4)(f1, f2, c1, c2)
     return acc[:, 0], acc[:, 1], acc[:, 2], acc[:, 3]
 
 
@@ -238,39 +246,45 @@ def _bwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref,
 
 
 def _run_bwd(f1, f2, c1, c2, rowmean, scalars, st: _Static):
-    b, n_pad, cf = f1.shape
-    cc = c1.shape[-1]
-    nq, nk = n_pad // TQ, n_pad // TK
     lo, hi = _clamp_bounds(st)
 
-    row = lambda b, q, k: (b, q, 0)
-    col = lambda b, q, k: (b, k, 0)
-    whole = lambda b, q, k: (b, 0, 0)
-    in_specs = [
-        pl.BlockSpec((1, TQ, cf), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TK, cf), col, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TQ, cc), row, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TK, cc), col, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, n_pad), whole, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 8), whole, memory_space=pltpu.SMEM),
-    ]
-
-    dc1, dc2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, lo=lo, hi=hi, pointwise=st.pointwise,
-                          nq=nq, nk=nk),
-        grid=(b, nq, nk),
-        in_specs=in_specs,
-        out_specs=[
+    def run(f1, f2, c1, c2, rowmean, scalars):
+        b, n_pad, cf = f1.shape
+        cc = c1.shape[-1]
+        nq, nk = n_pad // TQ, n_pad // TK
+        row = lambda b, q, k: (b, q, 0)
+        col = lambda b, q, k: (b, k, 0)
+        whole = lambda b, q, k: (b, 0, 0)
+        in_specs = [
+            pl.BlockSpec((1, TQ, cf), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TK, cf), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TQ, cc), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, cc), whole, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((n_pad, cc), jnp.float32)],
-        interpret=st.interpret,
-    )(f1, f2, c1, c2, rowmean, scalars)
+            pl.BlockSpec((1, TK, cc), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), whole, memory_space=pltpu.SMEM),
+        ]
+        out = pl.pallas_call(
+            functools.partial(_bwd_kernel, lo=lo, hi=hi,
+                              pointwise=st.pointwise, nq=nq, nk=nk),
+            grid=(b, nq, nk),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, TQ, cc), row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_pad, cc), whole, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
+                jax.ShapeDtypeStruct((b, n_pad, cc), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((n_pad, cc), jnp.float32)],
+            interpret=st.interpret,
+        )(f1, f2, c1, c2, rowmean, scalars)
+        return out[0], out[1]  # tuple, matching shard_map's out_specs pytree
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    dc1, dc2 = shard_kernel(run, st.mesh, 6, n_out=2)(
+        f1, f2, c1, c2, rowmean, scalars)
     return dc1, dc2
 
 
@@ -335,6 +349,7 @@ def fused_correlation_loss_multi(
     stabalize: bool = False,
     interpret: bool | None = None,
     feat_dtype=jnp.float32,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All pair types in ONE kernel launch.
 
@@ -347,6 +362,10 @@ def fused_correlation_loss_multi(
         stacked-pair prep traffic — appropriate when the features already
         come from a bf16 trunk). The code side (gradient-carrying cd dots)
         always stays float32.
+      mesh: a >1-device Mesh runs the fwd/bwd kernels per batch shard
+        (shard_map); the stacked-group batch dim must divide the mesh size.
+        The finalize reductions and negative gathers stay in plain XLA and
+        are partitioned by GSPMD — results are identical to single-device.
     Returns:
       (losses (G,), cd_means (G,)) — per pair type, each equal to the einsum
       oracle's ``loss.mean()`` / ``cd.mean()`` for that pair.
@@ -363,11 +382,14 @@ def fused_correlation_loss_multi(
     c1 = jnp.concatenate([_prep(p[2]) for p in pairs], axis=0)
     c2 = jnp.concatenate([_prep(p[3]) for p in pairs], axis=0)
 
+    if mesh is not None and mesh.devices.size <= 1:
+        mesh = None
     st = _Static(
         shifts=tuple(float(s) for s in shifts),
         group_sizes=group_sizes,
         pointwise=bool(pointwise), zero_clamp=bool(zero_clamp),
         stabalize=bool(stabalize), n_real=n, interpret=bool(interpret),
+        mesh=mesh,
     )
     return _fused_core(f1, f2, c1, c2, st)
 
@@ -404,6 +426,7 @@ def contrastive_correlation_loss_fused(
     interpret: bool | None = None,
     return_cd_tensors: bool = False,
     feat_dtype=jnp.float32,
+    mesh=None,
 ):
     """Three-pair contrastive loss through the fused kernel.
 
@@ -473,6 +496,7 @@ def contrastive_correlation_loss_fused(
     losses, cd_means = fused_correlation_loss_multi(
         pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
         stabalize=cfg.stabalize, interpret=interpret, feat_dtype=feat_dtype,
+        mesh=mesh,
     )
     zero = jnp.zeros((), jnp.float32)
     has_neg = cfg.neg_samples > 0

@@ -9,7 +9,10 @@ Here the same semantics fall out of sharded ``jit`` over a named mesh:
   negative-sampling gathers are XLA collectives over ICI inserted by the
   partitioner — no hand-written backend;
 * the KNN index build all-gathers per-device feature shards (see
-  stego_tpu/train/knn.py).
+  stego_tpu/train/knn.py);
+* Pallas kernels (pure batch parallelism, no cross-shard coupling) run
+  per-shard via :func:`shard_kernel` (``jax.shard_map``) so the fast paths
+  survive multi-chip meshes.
 
 The same code runs single-chip (mesh of 1) and on a virtual 8-device CPU mesh
 in the test suite.
@@ -35,37 +38,40 @@ def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
-def adapt_cfg_for_mesh(cfg, mesh: Mesh, for_training: bool = True):
-    """Disable the custom Pallas kernels when the mesh spans >1 device.
+def shard_kernel(fn, mesh: Optional[Mesh], n_in: int, n_out: int = 1):
+    """Run a batch-parallel Pallas kernel per shard of a >1-device mesh.
 
-    XLA cannot auto-partition Mosaic (Pallas) kernels under GSPMD
-    ("Mosaic kernels cannot be automatically partitioned" at compile time on
-    real multi-chip TPUs — the CPU dryrun masks this because interpret-mode
-    Pallas lowers to plain lax ops). The einsum attention and correlation
-    paths are mathematically identical (oracle-tested) and partition
-    cleanly, preserving the global-negative semantics and DDP-equivalence;
-    the kernels remain the single-chip fast path. Dense full-field loss has
-    no einsum fallback (it exists precisely because the einsum formulation
-    cannot materialize HW x HW) and raises."""
-    if mesh.devices.size <= 1:
-        return cfg
-    changes = {}
-    if cfg.use_flash_attention is not False:
-        changes["use_flash_attention"] = False
-    if cfg.use_pallas_loss:
-        changes["use_pallas_loss"] = False
-    if cfg.full_field_loss and for_training:
-        raise ValueError(
-            "full_field_loss=true is single-chip-only for now: the dense "
-            "(HW x HW) objective exists only as a Pallas kernel, and Mosaic "
-            "kernels cannot be auto-partitioned over a multi-device mesh."
-        )
-    if changes:
-        print(f"multi-device mesh ({mesh.devices.size}): using einsum "
-              f"attention/correlation paths ({sorted(changes)} overridden — "
-              "Pallas kernels cannot be auto-partitioned)")
-        cfg = cfg.replace(**changes)
-    return cfg
+    GSPMD cannot auto-partition Mosaic (Pallas) custom calls, but every
+    kernel in this repo grids over the batch dimension with zero cross-batch
+    coupling, so manual partitioning via ``jax.shard_map`` is exact: each
+    device runs the identical kernel on its contiguous batch shard, and the
+    surrounding XLA program (loss finalize reductions, negative-sample
+    gathers, metric psums) is auto-partitioned around it. This keeps the
+    measured single-chip fast paths — kernel attention, the fused correlation
+    loss, and dense full-field mode — live at any mesh size (reference DDP
+    keeps its full per-GPU perf path likewise, train_segmentation.py:476).
+
+    ``fn`` must derive all shapes from its array arguments (it is traced with
+    per-shard shapes). With no mesh (or one device) ``fn`` is returned as-is.
+    """
+    if mesh is None or mesh.devices.size <= 1:
+        return fn
+    d = mesh.devices.size
+    spec = P(DATA_AXIS)
+    out_specs = spec if n_out == 1 else tuple([spec] * n_out)
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * n_in,
+                            out_specs=out_specs, check_vma=False)
+
+    def wrapped(*args):
+        for a in args:
+            if a.shape[0] % d:
+                raise ValueError(
+                    f"kernel batch dim {a.shape[0]} not divisible by mesh "
+                    f"size {d} — Pallas kernels shard the batch contiguously "
+                    f"(pad the batch or adjust batch_size)")
+        return sharded(*args)
+
+    return wrapped
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -42,9 +42,6 @@ def precompute_knns(
     seg_net = None
     backbone = None
     mesh = make_mesh(cfg.num_devices)
-    from stego_tpu.parallel.mesh import adapt_cfg_for_mesh
-
-    cfg = adapt_cfg_for_mesh(cfg, mesh, for_training=False)
     written = []
     for crop_type in crop_types:
         for image_set in image_sets:
@@ -84,7 +81,7 @@ def precompute_knns(
                         seg_net = DinoFeaturizer(
                             vcfg, dim=20, feat_type=cfg.dino_feat_type,
                             projection_type=None, use_dropout=False,
-                            backbone_dtype=bdtype,
+                            backbone_dtype=bdtype, mesh=mesh,
                         )
                         backbone = build_backbone(cfg, vcfg,
                                                   jax.random.PRNGKey(0))

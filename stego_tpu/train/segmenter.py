@@ -62,9 +62,15 @@ class UnsupervisedSegmenter:
     """Static model assembly (no parameters held)."""
 
     def __init__(self, n_classes: int, cfg: Config,
-                 vit_cfg: Optional[ViTConfig] = None):
+                 vit_cfg: Optional[ViTConfig] = None, mesh=None):
         self.cfg = cfg
         self.n_classes = n_classes
+        # >1-device data mesh: Pallas kernels (attention, fused correlation
+        # loss, full-field mode) run per batch shard via shard_map — the
+        # single-chip fast paths survive any mesh size (reference DDP keeps
+        # its per-GPU path likewise, train_segmentation.py:476).
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
+            else None
         self.dim = cfg.dim if cfg.continuous else n_classes
         if vit_cfg is None and cfg.arch == "dino":
             vit_cfg = VIT_CONFIGS[cfg.model_type][cfg.dino_patch_size]
@@ -92,6 +98,7 @@ class UnsupervisedSegmenter:
                 use_dropout=cfg.dropout,
                 backbone_dtype=backbone_dtype,
                 use_flash_attention=cfg.use_flash_attention,
+                mesh=self.mesh,
             )
         else:
             raise ValueError(f"Unknown arch {cfg.arch}")
@@ -163,14 +170,15 @@ class UnsupervisedSegmenter:
 
 
 def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
-                      salience, salience_pos):
+                      salience, salience_pos, with_hist=True):
     if cfg.use_pallas_loss or cfg.full_field_loss:
         from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
 
         out = contrastive_correlation_loss_fused(
             seg.corr_cfg, key, signal, signal_pos, code, code_pos,
             salience, salience_pos, full_field=cfg.full_field_loss,
-            return_cd_tensors=not cfg.full_field_loss,
+            mesh=seg.mesh,
+            return_cd_tensors=with_hist and not cfg.full_field_loss,
             # feature-side (stop-grad) tiles in bf16 when the features come
             # from a bf16 trunk anyway; code-side dots stay f32 for grads
             feat_dtype=(jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
@@ -200,24 +208,36 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
     # costs ~20 ms/call on TPU; a one-hot reduction is ~free. cd values are
     # clipped so the exact-±1 cosines (pos_intra diagonal) land in edge bins
     # deterministically. The fused Pallas path reports means only.
-    for name in ("pos_intra_cd", "pos_inter_cd", "neg_inter_cd"):
-        cd = out[name]
-        if cd.ndim > 0:
-            idx = jnp.clip(
-                jnp.floor((jnp.clip(cd.ravel(), -1.0, 1.0) + 1.0) * 32.0)
-                .astype(jnp.int32), 0, 63,
-            )
-            counts = jnp.sum(jax.nn.one_hot(idx, 64, dtype=jnp.int32), axis=0)
-            metrics[f"hist/{name.replace('_cd', '')}"] = counts
+    # with_hist=False builds a step WITHOUT any of this (the app dispatches
+    # the hist variant only on hist_freq steps — 99% of steps skip the
+    # observability work nobody reads).
+    if with_hist:
+        for name in ("pos_intra_cd", "pos_inter_cd", "neg_inter_cd"):
+            cd = out[name]
+            if cd.ndim > 0:
+                idx = jnp.clip(
+                    jnp.floor((jnp.clip(cd.ravel(), -1.0, 1.0) + 1.0) * 32.0)
+                    .astype(jnp.int32), 0, 63,
+                )
+                counts = jnp.sum(jax.nn.one_hot(idx, 64, dtype=jnp.int32),
+                                 axis=0)
+                metrics[f"hist/{name.replace('_cd', '')}"] = counts
     return corr_loss, metrics
 
 
-def make_train_step(seg: UnsupervisedSegmenter):
+def make_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
     """Build the jittable train step.
 
     Step signature: (backbone_params, state, batch, key) -> (state, metrics).
     ``batch`` is a dict of NHWC arrays: img, label [, img_pos, label_pos, mask,
     mask_pos, img_aug, coord_aug].
+
+    ``with_hist=False`` builds the production variant WITHOUT cd-histogram
+    binning (and without the fused path's cd-tensor recomputation): the app
+    jits both variants and dispatches the hist one only every ``hist_freq``
+    steps, so the hot step never pays for observability that is read 1% of
+    the time (reference logs hists at the same cadence,
+    train_segmentation.py:144,165-168).
     """
     cfg = seg.cfg
     opts = seg.make_optimizers()
@@ -294,7 +314,7 @@ def make_train_step(seg: UnsupervisedSegmenter):
                 salience_pos = batch.get("mask_pos") if cfg.use_salience else None
                 corr_loss, corr_metrics = _corr_pair_losses(
                     seg, cfg, k_corr, signal, signal_pos, code, code_pos,
-                    salience, salience_pos,
+                    salience, salience_pos, with_hist=with_hist,
                 )
                 loss = loss + corr_loss
                 metrics.update(corr_metrics)
