@@ -227,14 +227,23 @@ class DiskCachedDataset:
 
 def _compact_item(v: np.ndarray):
     """(array, tag) — uint8 for normalized RGB(A) (exact
-    inverse-normalization), int16 for labels, pass-through otherwise."""
+    inverse-normalization), int16 for labels, pass-through otherwise.
+
+    The uint8 path assumes an ImageNet-normalized NEAREST-resized uint8
+    source; that assumption is VERIFIED per item (re-normalize the quantized
+    array and compare) and the item falls back to lossless 'raw' on any
+    mismatch — a bilinear-resized or float-native source is stored exactly
+    instead of silently losing ~1/255."""
     from stego_tpu.data.transforms import channel_stats
 
     if v.dtype == np.float32 and v.ndim == 3 and v.shape[-1] in (3, 4):
         mean, std = channel_stats(v.shape[-1])
         raw = v * std + mean
         q = np.clip(np.rint(raw * 255.0), 0, 255).astype(np.uint8)
-        return q, "norm_u8"
+        rt = ((q.astype(np.float32) / 255.0 - mean) / std).astype(np.float32)
+        if np.array_equal(rt, v):
+            return q, "norm_u8"
+        return v, "raw"
     if v.dtype == np.int64:
         return v.astype(np.int16), "i16"
     return v, "raw"

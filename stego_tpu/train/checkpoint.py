@@ -91,11 +91,21 @@ class CheckpointManager:
             e, self._backbone_error = self._backbone_error, None
             raise RuntimeError("background backbone save failed") from e
 
+    def _check_backbone_error(self) -> None:
+        """Non-blocking: surface a failed background backbone save at the
+        NEXT managed checkpoint instead of only at shutdown (a full run could
+        otherwise complete before learning the backbone never landed)."""
+        if self._backbone_error is not None:
+            e, self._backbone_error = self._backbone_error, None
+            self._backbone_thread = None
+            raise RuntimeError("background backbone save failed") from e
+
     def save(self, step: int, state: Dict[str, Any],
              metrics: Optional[Dict[str, float]] = None) -> None:
         """Async: returns as soon as the save is enqueued; the write overlaps
         subsequent training steps (round-1 blocked the step loop on every
         save, which stalls badly on slow links)."""
+        self._check_backbone_error()
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(state),
@@ -115,6 +125,7 @@ class CheckpointManager:
         immediately). Written to ``<dir>/preempt`` (overwriting any earlier
         preemption snapshot); :meth:`restore` prefers it when it is newer
         than the latest managed step."""
+        self._check_backbone_error()
         self._mgr.wait_until_finished()
         if self._mgr.latest_step() == step:
             return  # the managed save already captured this exact step
