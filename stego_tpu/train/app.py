@@ -54,13 +54,8 @@ def get_class_labels(dataset_name: str):
             "textile", "wall", "window", "building", "ground", "plant", "sky",
             "solid", "structural", "water",
         ]
-    if dataset_name == "voc":
-        return [
-            "background", "aeroplane", "bicycle", "bird", "boat", "bottle",
-            "bus", "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
-            "motorbike", "person", "pottedplant", "sheep", "sofa", "train",
-            "tvmonitor",
-        ]
+    # (the reference also lists VOC classes, train_segmentation.py:36-43, but
+    # neither codebase can construct a voc dataset — vestige not carried over)
     if dataset_name == "potsdam":
         return ["roads and cars", "buildings and clutter",
                 "trees and vegetation"]
@@ -150,7 +145,7 @@ def make_datasets(cfg: Config):
     train_dataset.dataset = _wrap_cached(
         train_dataset.dataset, "train", cfg.res, cfg.crop_type,
         cfg.loader_crop_type)
-    val_loader_crop = None if cfg.dataset_name == "voc" else "center"
+    val_loader_crop = "center"
     val_dataset = ContrastiveSegDataset(
         pytorch_data_dir=cfg.pytorch_data_dir,
         dataset_name=cfg.dataset_name,
@@ -299,43 +294,54 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         train_dataset, val_dataset = make_datasets(cfg)
 
     n_classes = train_dataset.n_classes
-    from stego_tpu.parallel.mesh import adapt_cfg_for_mesh
-
-    cfg = adapt_cfg_for_mesh(cfg, make_mesh(cfg.num_devices))
-    seg = UnsupervisedSegmenter(n_classes, cfg, vit_cfg=vit_cfg)
+    mesh = make_mesh(cfg.num_devices)
+    # Pallas kernels run per batch shard on >1-device meshes (shard_map);
+    # nothing is disabled — the fast path survives multi-chip.
+    seg = UnsupervisedSegmenter(n_classes, cfg, vit_cfg=vit_cfg, mesh=mesh)
 
     key = jax.random.PRNGKey(cfg.seed)
     k_backbone, k_state, k_steps = jax.random.split(key, 3)
     backbone = build_backbone(cfg, seg.vit_cfg, k_backbone)
     state = seg.init_state(k_state)
 
-    mesh = make_mesh(cfg.num_devices)
     bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
     backbone = jax.device_put(backbone, rs)
     state = jax.device_put(state, rs)
 
-    raw_step = make_train_step(seg)
-    if cfg.checkify:
-        # sanitizer mode (SURVEY.md §5): float checks on every op; errors
-        # surface with source locations instead of silent NaN propagation
-        from jax.experimental import checkify as _checkify
+    def _jit_step(with_hist: bool):
+        raw_step = make_train_step(seg, with_hist=with_hist)
+        if cfg.checkify:
+            # sanitizer mode (SURVEY.md §5): float checks on every op; errors
+            # surface with source locations instead of silent NaN propagation
+            from jax.experimental import checkify as _checkify
 
-        checked = _checkify.checkify(raw_step, errors=_checkify.float_checks)
+            checked = _checkify.checkify(raw_step,
+                                         errors=_checkify.float_checks)
 
-        def train_step(backbone, state, batch, key):
-            err, out = checked(backbone, state, batch, key)
-            _checkify.check_error(err)
-            return out
+            def stepped(backbone, state, batch, key):
+                err, out = checked(backbone, state, batch, key)
+                _checkify.check_error(err)
+                return out
 
-        train_step = jax.jit(train_step)
-    else:
-        train_step = jax.jit(raw_step, donate_argnums=(1,))
+            return jax.jit(stepped)
+        return jax.jit(raw_step, donate_argnums=(1,))
+
+    # two step variants: the hot one carries zero histogram work; the hist
+    # one (compiled lazily on its first hist_freq step) additionally bins the
+    # cd tensors on device. Measured on v5e: see CLAUDE.md perf notes.
+    train_step = _jit_step(False)
+    train_step_hist = _jit_step(True) if cfg.hist_freq else train_step
     val_step = jax.jit(make_val_step(seg))
 
     # per-host loaders: each process decodes its stripe of the global batch
     val_bs = cfg.val_batch_size or cfg.batch_size
     if cfg.batch_size % pc or val_bs % pc:
         raise ValueError(f"batch sizes must divide process_count={pc}")
+    d = mesh.devices.size
+    if cfg.batch_size % d or val_bs % d:
+        raise ValueError(
+            f"batch sizes ({cfg.batch_size}, val {val_bs}) must be divisible "
+            f"by the mesh size {d} (Pallas kernels shard the batch evenly)")
     pi = jax.process_index()
     train_loader = DataLoader(train_dataset, cfg.batch_size // pc,
                               shuffle=True, seed=cfg.seed,
@@ -402,82 +408,88 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     t0 = time.time()
     imgs_seen = 0
     profiling = False
-    for step_idx in range(start_step, cfg.max_steps):
-        # profiler trace hooks (SURVEY.md §5): capture steps 10-20 when enabled
-        if cfg.profile_dir and step_idx == 10:
-            jax.profiler.start_trace(cfg.profile_dir)
-            profiling = True
-        if profiling and step_idx == 20:
-            jax.profiler.stop_trace()
-            profiling = False
-        batch = next(batches)
-        batch = {k: batch[k] for k in step_keys if k in batch}
-        if pc > 1:
-            from stego_tpu.data.loader import compact_batch
+    # try/finally: a mid-loop exception must still restore the signal
+    # handlers (they close over THIS run's stop_signal — leaking them breaks
+    # library/test callers) and close the logger/checkpoint manager.
+    try:
+        for step_idx in range(start_step, cfg.max_steps):
+            # profiler trace hooks (SURVEY.md §5): capture steps 10-20 when enabled
+            if cfg.profile_dir and step_idx == 10:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            if profiling and step_idx == 20:
+                jax.profiler.stop_trace()
+                profiling = False
+            batch = next(batches)
+            batch = {k: batch[k] for k in step_keys if k in batch}
+            if pc > 1:
+                from stego_tpu.data.loader import compact_batch
 
-            dev_batch = global_batch(mesh, compact_batch(batch))
-        else:
-            dev_batch = _device_batch(batch, bs)
-        state, metrics = train_step(
-            backbone, state, dev_batch,
-            jax.random.fold_in(k_steps, step_idx),
-        )
-        imgs_seen += cfg.batch_size
-
-        if cfg.reset_probe_steps is not None and \
-                step_idx + 1 == cfg.reset_probe_steps:
-            print("RESETTING PROBES")
-            state = seg.reset_probes(
-                jax.random.fold_in(k_steps, cfg.max_steps + 1), state
+                dev_batch = global_batch(mesh, compact_batch(batch))
+            else:
+                dev_batch = _device_batch(batch, bs)
+            hist_step = bool(cfg.hist_freq) and \
+                (step_idx + 1) % cfg.hist_freq == 0
+            state, metrics = (train_step_hist if hist_step else train_step)(
+                backbone, state, dev_batch,
+                jax.random.fold_in(k_steps, step_idx),
             )
-            state = jax.device_put(state, rs)
+            imgs_seen += cfg.batch_size
 
-        if (step_idx + 1) % cfg.scalar_log_freq == 0:
-            host = {k: float(v) for k, v in metrics.items()
-                    if not k.startswith("hist/")}
-            # rolling window so compile time doesn't pollute steady state
-            dt = time.time() - t0
-            host["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
-            t0 = time.time()
-            imgs_seen = 0
-            logger.log_scalars(step_idx + 1, host)
+            if cfg.reset_probe_steps is not None and \
+                    step_idx + 1 == cfg.reset_probe_steps:
+                print("RESETTING PROBES")
+                state = seg.reset_probes(
+                    jax.random.fold_in(k_steps, cfg.max_steps + 1), state
+                )
+                state = jax.device_put(state, rs)
 
-        if cfg.hist_freq and (step_idx + 1) % cfg.hist_freq == 0:
-            for k, v in metrics.items():
-                if k.startswith("hist/"):
-                    logger.log_histogram_counts(step_idx + 1, k, v)
+            if (step_idx + 1) % cfg.scalar_log_freq == 0:
+                host = {k: float(v) for k, v in metrics.items()
+                        if not k.startswith("hist/")}
+                # rolling window so compile time doesn't pollute steady state
+                dt = time.time() - t0
+                host["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
+                t0 = time.time()
+                imgs_seen = 0
+                logger.log_scalars(step_idx + 1, host)
 
-        if (step_idx + 1) % cfg.val_freq == 0 or step_idx + 1 == cfg.max_steps:
-            metrics_out = run_validation(
-                seg, val_step, backbone, state["params"], val_loader, mesh,
-                val_bs,
-                figure_prefix=(join(log_dir, f"val_{step_idx + 1}_")
-                               if primary else None),
-            )
-            logger.log_scalars(step_idx + 1, metrics_out)
-            print(f"step {step_idx + 1}: " + ", ".join(
-                f"{k}={v:.2f}" for k, v in metrics_out.items()))
+            if cfg.hist_freq and (step_idx + 1) % cfg.hist_freq == 0:
+                for k, v in metrics.items():
+                    if k.startswith("hist/"):
+                        logger.log_histogram_counts(step_idx + 1, k, v)
 
-        if mgr is not None and ((step_idx + 1) % cfg.checkpoint_freq == 0 or
-                                step_idx + 1 == cfg.max_steps):
-            mgr.save(step_idx + 1, jax.device_get(state), metrics=metrics_out)
+            if (step_idx + 1) % cfg.val_freq == 0 or step_idx + 1 == cfg.max_steps:
+                metrics_out = run_validation(
+                    seg, val_step, backbone, state["params"], val_loader, mesh,
+                    val_bs,
+                    figure_prefix=(join(log_dir, f"val_{step_idx + 1}_")
+                                   if primary else None),
+                )
+                logger.log_scalars(step_idx + 1, metrics_out)
+                print(f"step {step_idx + 1}: " + ", ".join(
+                    f"{k}={v:.2f}" for k, v in metrics_out.items()))
 
-        if stop_signal:
-            if mgr is not None:
-                # force-save regardless of top-k ranking: a preemption
-                # checkpoint must land even if its metrics are worse
-                mgr.save_preemption(step_idx + 1, jax.device_get(state),
-                                    metrics=metrics_out)
-                mgr.wait_until_finished()
-            print(f"exiting after step {step_idx + 1} on signal "
-                  f"{stop_signal[0]} (resume=true continues from here)")
-            break
+            if mgr is not None and ((step_idx + 1) % cfg.checkpoint_freq == 0 or
+                                    step_idx + 1 == cfg.max_steps):
+                mgr.save(step_idx + 1, jax.device_get(state), metrics=metrics_out)
 
-    for s, h in prev_handlers.items():
-        signal.signal(s, h)
-    logger.close()
-    if mgr is not None:
-        mgr.close()
+            if stop_signal:
+                if mgr is not None:
+                    # force-save regardless of top-k ranking: a preemption
+                    # checkpoint must land even if its metrics are worse
+                    mgr.save_preemption(step_idx + 1, jax.device_get(state),
+                                        metrics=metrics_out)
+                    mgr.wait_until_finished()
+                print(f"exiting after step {step_idx + 1} on signal "
+                      f"{stop_signal[0]} (resume=true continues from here)")
+                break
+    finally:
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
+        logger.close()
+        if mgr is not None:
+            mgr.close()
     return metrics_out
 
 
