@@ -29,7 +29,7 @@ from stego_tpu.ops.interp import interpolate
 from stego_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from stego_tpu.train.app import _pad_batch, get_class_labels
 from stego_tpu.train.segmenter import UnsupervisedSegmenter
-from stego_tpu.utils.metrics import UnsupervisedMetrics
+from stego_tpu.utils.metrics import UnsupervisedMetrics, update_conf_matrix
 from stego_tpu.utils.viz import (
     save_comparison_grid,
     save_confusion_matrix,
@@ -82,21 +82,40 @@ def _n_classes_for(cfg: Config) -> int:
 
 
 def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
-                   return_probs: bool = False):
+                   return_probs: bool = False, with_conf: bool = False):
     """jitted eval step: flip-TTA code (reference eval_segmentation.py:124-126),
     probe log-probs, optional on-device CRF, argmax predictions.
     ``return_probs`` skips on-device CRF/argmax and returns the log-prob maps
-    (used by the host-side exact-CRF backend)."""
+    (used by the host-side exact-CRF backend). ``with_conf`` additionally
+    returns the device-side confusion matrices — on a multi-process mesh the
+    batch reduction makes them replicated global values (implicit psum), so
+    every host reads identical metrics without host-side merging (mirrors
+    run_validation; reference eval DataParallel, eval_segmentation.py:94-97)."""
+    nc = seg.n_classes
+    extra = seg.cfg.extra_clusters
+
+    def _confs(linear_preds, cluster_preds, label):
+        return (
+            update_conf_matrix(jnp.zeros((nc, nc), jnp.int32), linear_preds,
+                               label, nc, 0),
+            update_conf_matrix(jnp.zeros((nc + extra, nc), jnp.int32),
+                               cluster_preds, label, nc, extra),
+        )
 
     def eval_step(backbone, params, img, label):
         from stego_tpu.data.loader import restore_dtypes
 
         restored = restore_dtypes({"img": img, "label": label})
         img, label = restored["img"], restored["label"]
-        _, code1 = seg.net.apply(backbone, params["head"], img, train=False)
-        _, code2 = seg.net.apply(backbone, params["head"], img[:, :, ::-1],
-                                 train=False)
-        code = (code1 + code2[:, :, ::-1]) / 2.0
+        # flip-TTA in ONE batched backbone call (original ‖ flipped) — same
+        # MXU-utilization rationale as the train step's batched forward
+        # (train/segmenter.py); halves eval dispatches on ~1 ms-dispatch
+        # platforms vs two sequential net.apply calls.
+        b = img.shape[0]
+        both = jnp.concatenate([img, img[:, :, ::-1]], axis=0)
+        _, code_both = seg.net.apply(backbone, params["head"], both,
+                                     train=False)
+        code = (code_both[:b] + code_both[b:, :, ::-1]) / 2.0
 
         if not run_crf and not return_probs:
             # argmax-only path: code-res logits + channel-major upsampled
@@ -113,6 +132,9 @@ def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
             cluster_preds = upsampled_argmax(
                 code @ l2_normalize(params["cluster_probe"]["clusters"],
                                     axis=1).T, hw)
+            if with_conf:
+                return (linear_preds, cluster_preds,
+                        *_confs(linear_preds, cluster_preds, label))
             return linear_preds, cluster_preds
 
         code = interpolate(code, label.shape[1:3], "bilinear",
@@ -138,6 +160,9 @@ def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
         else:
             linear_preds = jnp.argmax(linear_probs, axis=-1)
             cluster_preds = jnp.argmax(cluster_probs, axis=-1)
+        if with_conf:
+            return (linear_preds, cluster_preds,
+                    *_confs(linear_preds, cluster_preds, label))
         return linear_preds, cluster_preds
 
     return eval_step
@@ -168,12 +193,10 @@ def evaluate(
         )
 
     mesh = make_mesh(eval_cfg.num_devices)
-    from stego_tpu.parallel.mesh import adapt_cfg_for_mesh
-
-    adapted = adapt_cfg_for_mesh(seg.cfg, mesh, for_training=False)
-    if adapted is not seg.cfg:
-        seg = UnsupervisedSegmenter(seg.n_classes, adapted,
-                                    vit_cfg=seg.vit_cfg)
+    if mesh.devices.size > 1:
+        # rebuild with the mesh so the attention kernels run per batch shard
+        seg = UnsupervisedSegmenter(seg.n_classes, seg.cfg,
+                                    vit_cfg=seg.vit_cfg, mesh=mesh)
     bs_shard = batch_sharding(mesh)
     rs = replicated_sharding(mesh)
     backbone = jax.device_put(backbone, rs)
@@ -182,11 +205,24 @@ def evaluate(
     batch_size = eval_cfg.batch_size * 2  # reference eval loader batching (:88)
     d = mesh.devices.size
     batch_size = max(d, (batch_size // d) * d)
-    loader = DataLoader(val_dataset, batch_size, shuffle=False, drop_last=False)
+    # multi-process: each host decodes its stripe of the val set and the
+    # global batch is assembled over the mesh — a pod evaluates the set ONCE
+    # (round 2 had every process re-evaluate the full set). Mirrors the
+    # train loop (train/app.py) and the reference's eval DataParallel
+    # (eval_segmentation.py:94-97).
+    pc, pi = jax.process_count(), jax.process_index()
+    loader = DataLoader(val_dataset, batch_size // pc, shuffle=False,
+                        drop_last=False, num_shards=pc, shard_index=pi)
 
     exact_crf = eval_cfg.run_crf and eval_cfg.crf_backend == "exact"
+    if exact_crf and pc > 1:
+        raise ValueError(
+            "crf_backend=exact runs host-side per process and cannot merge "
+            "metrics across processes; use crf_backend=grid for multi-host "
+            "eval")
     eval_step = jax.jit(make_eval_step(seg, eval_cfg.run_crf,
-                                       return_probs=exact_crf))
+                                       return_probs=exact_crf,
+                                       with_conf=not exact_crf))
 
     # optional PiCIE baseline comparison rows
     # (reference eval_segmentation.py:70-75,143-145)
@@ -226,13 +262,19 @@ def evaluate(
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
-        batch = _pad_batch(batch, batch_size)
+        batch = _pad_batch(batch, batch_size // pc)
         from stego_tpu.data.loader import compact_batch
 
         compact = compact_batch({"img": np.asarray(batch["img"]),
                                  "label": np.asarray(batch["label"])})
-        img = jax.device_put(jnp.asarray(compact["img"]), bs_shard)
-        label = jax.device_put(jnp.asarray(compact["label"]), bs_shard)
+        if pc > 1:
+            from stego_tpu.parallel.multihost import global_batch
+
+            dev = global_batch(mesh, compact)
+            img, label = dev["img"], dev["label"]
+        else:
+            img = jax.device_put(jnp.asarray(compact["img"]), bs_shard)
+            label = jax.device_put(jnp.asarray(compact["label"]), bs_shard)
         if exact_crf:
             from stego_tpu.ops.crf_exact import dense_crf_exact_batch
 
@@ -241,12 +283,17 @@ def evaluate(
                 np.asarray(img01), np.asarray(lp)).argmax(-1)
             cluster_preds = dense_crf_exact_batch(
                 np.asarray(img01), np.asarray(cp)).argmax(-1)
+            linear_metrics.update(np.asarray(linear_preds),
+                                  np.asarray(batch["label"]))
+            cluster_metrics.update(np.asarray(cluster_preds),
+                                   np.asarray(batch["label"]))
         else:
-            linear_preds, cluster_preds = eval_step(backbone, params, img,
-                                                    label)
-        linear_metrics.update(np.asarray(linear_preds), np.asarray(label))
-        cluster_metrics.update(np.asarray(cluster_preds), np.asarray(label))
-        if len(saved["img"]) < n_keep:
+            linear_preds, cluster_preds, conf_l, conf_c = eval_step(
+                backbone, params, img, label)
+            # replicated global conf matrices (implicit psum over the mesh)
+            linear_metrics.merge_stats(np.asarray(conf_l))
+            cluster_metrics.merge_stats(np.asarray(conf_c))
+        if pc == 1 and len(saved["img"]) < n_keep:
             take = min(n_keep - len(saved["img"]), len(batch["img"]))
             saved["img"].extend(np.asarray(batch["img"][:take]))
             saved["label"].extend(np.asarray(batch["label"][:take]))

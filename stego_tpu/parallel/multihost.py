@@ -8,8 +8,6 @@ that difference out of the training loop:
   coordinator is configured (env vars or explicit args) — after it,
   ``jax.devices()`` is global and the data mesh spans the slice (ICI within a
   host's chips, DCN across hosts — XLA routes collectives accordingly);
-* :func:`process_shard` partitions dataset indices per process (each host's
-  DataLoader only decodes its shard);
 * :func:`global_batch` assembles the host-local arrays into global jax.Arrays
   sharded over the mesh (``jax.make_array_from_process_local_data``), which is
   a plain sharded device_put in the single-process case.
@@ -64,15 +62,6 @@ def maybe_initialize_distributed(
 def is_primary() -> bool:
     """Host 0 owns logging, checkpoint writes and figure export."""
     return jax.process_index() == 0
-
-
-def process_shard(n: int) -> np.ndarray:
-    """Indices of this process's dataset shard (equal-length stripes; the
-    remainder is dropped so every host steps the same number of batches —
-    unequal lengths would deadlock the collective steps)."""
-    pc, pi = jax.process_count(), jax.process_index()
-    usable = (n // pc) * pc
-    return np.arange(pi, usable, pc)
 
 
 def global_batch(mesh, host_batch: Dict[str, Any]) -> Dict[str, Any]:

@@ -95,10 +95,12 @@ def _serve_fn(seg):
     def fn(backbone, params, img01):
         mean, std = (jnp.asarray(s) for s in channel_stats(img01.shape[-1]))
         img = (img01.astype(jnp.float32) - mean) / std
-        _, code1 = seg.net.apply(backbone, params["head"], img, train=False)
-        _, code2 = seg.net.apply(backbone, params["head"], img[:, :, ::-1],
-                                 train=False)
-        code = (code1 + code2[:, :, ::-1]) / 2.0
+        # one batched backbone call for original ‖ flipped (see evaluate.py)
+        b = img.shape[0]
+        both = jnp.concatenate([img, img[:, :, ::-1]], axis=0)
+        _, code_both = seg.net.apply(backbone, params["head"], both,
+                                     train=False)
+        code = (code_both[:b] + code_both[b:, :, ::-1]) / 2.0
         code = interpolate(code, img.shape[1:3], "bilinear",
                            align_corners=False)
         linear_probs = jax.nn.log_softmax(
@@ -137,9 +139,13 @@ def package_from_parts(seg, backbone, params, out_dir: str,
     if batch_size % n_devices:
         raise ValueError(f"n_devices={n_devices} must divide "
                          f"batch_size={batch_size}")
-    if n_devices > 1 and getattr(seg.net, "use_flash_attention", False):
-        # Mosaic (Pallas) kernels cannot be auto-partitioned under GSPMD;
-        # the einsum attention path is oracle-identical and shards cleanly
+    if getattr(seg.net, "use_flash_attention", False) is not False:
+        # ALL exports take the einsum attention path (oracle-identical): a
+        # Mosaic (Pallas) custom call baked into the StableHLO would pin the
+        # artifact to a TPU backend with the package-time interpret-mode
+        # decision frozen in, defeating the artifact's documented portability
+        # across hosts/backends/jax releases (a CPU serving process could
+        # never run it). The kernel fast path remains the in-process story.
         from stego_tpu.train.segmenter import UnsupervisedSegmenter
 
         seg = UnsupervisedSegmenter(
@@ -153,8 +159,18 @@ def package_from_parts(seg, backbone, params, out_dir: str,
                       if n_devices > 1 else None),
     )
 
-    img_spec = jax.ShapeDtypeStruct((batch_size, res, res, in_chans),
-                                    jnp.float32)
+    if n_devices == 1:
+        # batch-polymorphic artifact: the batch axis is a symbolic dimension,
+        # so ONE artifact serves any batch size (flip-TTA concat becomes 2*b
+        # symbolically; all spatial dims stay static). SPMD exports keep a
+        # pinned batch — the sharded batch axis must be divisible by the mesh,
+        # which symbolic dims cannot promise.
+        (b_dim,) = jexport.symbolic_shape("b")
+        img_spec = jax.ShapeDtypeStruct((b_dim, res, res, in_chans),
+                                        jnp.float32)
+    else:
+        img_spec = jax.ShapeDtypeStruct((batch_size, res, res, in_chans),
+                                        jnp.float32)
     exported = jexport.export(fn)(
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                      backbone),
@@ -174,6 +190,7 @@ def package_from_parts(seg, backbone, params, out_dir: str,
             "res": res, "batch_size": batch_size, "in_chans": in_chans,
             "n_devices": n_devices, "n_classes": seg.n_classes,
             "extra_clusters": seg.cfg.extra_clusters,
+            "batch_polymorphic": n_devices == 1,
             "input": "float32 [0,1] RGB(A), NHWC",
         }, f, indent=2)
     return out_dir
@@ -226,8 +243,9 @@ class ServingModel:
         return cls(call, backbone, params, meta, batch_sharding=bsh)
 
     def predict(self, img01: np.ndarray) -> Dict[str, np.ndarray]:
-        """img01: (B, res, res, C) float32 in [0, 1] matching meta['res'] /
-        meta['batch_size'] (pad the batch if short)."""
+        """img01: (B, res, res, C) float32 in [0, 1] matching meta['res'].
+        Single-device artifacts are batch-polymorphic (any B >= 1); SPMD
+        artifacts need B == meta['batch_size'] (pad the batch if short)."""
         if self._batch_sharding is not None:
             # one transfer, straight to the sharded layout (jnp.asarray would
             # commit to device 0 first and reshard device-to-device)

@@ -11,14 +11,12 @@ from stego_tpu.parallel.multihost import (
     global_batch,
     is_primary,
     maybe_initialize_distributed,
-    process_shard,
 )
 
 
 def test_single_process_passthrough():
     assert maybe_initialize_distributed() is False
     assert is_primary()
-    np.testing.assert_array_equal(process_shard(10), np.arange(10))
 
 
 def test_global_batch_equals_sharded_device_put(cpu_devices):
@@ -128,3 +126,87 @@ def test_two_process_distributed_matches_single(tmp_path):
 
     np.testing.assert_allclose(multi["losses"], losses, rtol=2e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(multi["conf"]), conf)
+
+
+def _make_eval_fixture(tmp_path):
+    """Synthetic directory dataset + a 1-step orbax checkpoint for eval."""
+    from PIL import Image
+
+    from stego_tpu.config import Config
+    from stego_tpu.models.vit import ViTConfig, init_vit_params
+    from stego_tpu.train.checkpoint import CheckpointManager
+    from stego_tpu.train.segmenter import UnsupervisedSegmenter
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    for split, count in {"train": 8, "val": 8}.items():
+        (root / "synth" / "imgs" / split).mkdir(parents=True)
+        (root / "synth" / "labels" / split).mkdir(parents=True)
+        for i in range(count):
+            base = np.zeros((16, 16, 3), np.uint8)
+            base[:, :, i % 3] = 200
+            base += rng.integers(0, 55, (16, 16, 3), dtype=np.uint8)
+            Image.fromarray(base).save(
+                root / "synth" / "imgs" / split / f"{i:03d}.png")
+            Image.fromarray(np.full((16, 16), i % 3, np.uint8)).save(
+                root / "synth" / "labels" / split / f"{i:03d}.png")
+
+    tiny_vit = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                         img_size=16)
+    cfg = Config(pytorch_data_dir=str(root), dataset_name="directory",
+                 dir_dataset_name="synth", dir_dataset_n_classes=3,
+                 res=16, val_res=16, dim=6, crop_type=None,
+                 backbone_dtype="float32")
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=tiny_vit)
+    ckpt_dir = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=1)
+    mgr.save_backbone(init_vit_params(jax.random.PRNGKey(0), tiny_vit))
+    mgr.save(1, jax.device_get(seg.init_state(jax.random.PRNGKey(1))),
+             metrics={})
+    mgr.close()
+    return str(root), ckpt_dir, cfg, tiny_vit
+
+
+def test_two_process_eval_matches_single(tmp_path):
+    """Sharded eval (round-3 VERDICT item 6): 2 real jax.distributed
+    processes run evaluate() — each decodes its stripe of the val set, conf
+    matrices merge via the implicit psum — and the metrics must equal a
+    single-process evaluate of the same checkpoint."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    data_root, ckpt_dir, cfg, tiny_vit = _make_eval_fixture(tmp_path)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_eval_worker.py")
+    out = str(tmp_path / "eval.json")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(pid), "2", str(port), data_root,
+         ckpt_dir, out],
+        env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    ) for pid in range(2)]
+    logs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    import json
+
+    from stego_tpu.eval.evaluate import evaluate
+
+    with open(out) as f:
+        multi = json.load(f)
+
+    eval_cfg = cfg.replace(batch_size=2, run_crf=False,
+                           experiment_name="mh_eval")
+    single = evaluate(eval_cfg, ckpt_dir, vit_cfg=tiny_vit,
+                      save_outputs=False)
+    assert set(multi) == set(single)
+    for k in single:
+        np.testing.assert_allclose(multi[k], float(single[k]), atol=1e-4,
+                                   err_msg=k)
