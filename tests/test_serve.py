@@ -87,3 +87,25 @@ def test_spmd_package_batch_divisibility():
     with pytest.raises(ValueError, match="divide"):
         package_from_parts(seg, backbone, params, "/tmp/nope", res=16,
                            batch_size=6, n_devices=4)
+
+
+def test_batch_polymorphic_artifact(tmp_path):
+    """ONE single-device artifact serves any batch size: the export uses a
+    symbolic batch dim (round-3 VERDICT item 7; was pinned to the packaging
+    batch_size before)."""
+    seg, backbone, params = _parts()
+    out_dir = package_from_parts(seg, backbone, params, str(tmp_path / "poly"),
+                                 res=16, batch_size=2)
+    model = ServingModel.load(out_dir)
+    assert model.meta["batch_polymorphic"] is True
+
+    img5 = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(9), (5, 16, 16, 3)))
+    out5 = model.predict(img5)
+    assert out5["linear_preds"].shape == (5, 16, 16)
+    out1 = model.predict(img5[2:3])
+    # per-image results are batch-independent
+    np.testing.assert_allclose(out1["linear_probs"][0],
+                               out5["linear_probs"][2], atol=1e-5)
+    np.testing.assert_array_equal(out1["cluster_preds"][0],
+                                  out5["cluster_preds"][2])
