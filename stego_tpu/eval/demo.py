@@ -34,13 +34,24 @@ def demo(cfg: Config, model_path: str, image_dir: str, result_dir: str,
     dataset = UnlabeledImageFolder(
         image_dir, get_transform(cfg.res, False, "center")
     )
-    # decode each image ONCE (dataset[i] decodes; indexing it twice per item
-    # would double the decode work on the single-core host)
-    items = [dataset[i] for i in range(len(dataset))]
+
+    class _DictView:
+        """Stream the folder through the prefetching DataLoader: each image
+        decodes exactly once, decode overlaps device compute, and memory is
+        bounded by prefetch x batch (the round-2 version pre-decoded the
+        whole folder into RAM before the first device step)."""
+
+        def __len__(self):
+            return len(dataset)
+
+        def __getitem__(self, i):
+            img, name = dataset[i]
+            return {"img": img, "name": name}
+
     loader = DataLoader(
-        [{"img": img, "name": name} for img, name in items],
+        _DictView(),
         batch_size=min(cfg.batch_size * 2, max(1, len(dataset))),
-        shuffle=False, drop_last=False, prefetch=0,
+        shuffle=False, drop_last=False,
     )
     eval_step = jax.jit(make_eval_step(seg, run_crf=cfg.run_crf))
 
