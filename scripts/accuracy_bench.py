@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Accuracy regression benchmark on the deterministic synthetic mosaic.
+
+The released checkpoints / real datasets are unreachable offline, so this is
+the tracked accuracy half of the north star (BASELINE.md): generate the
+textured-mosaic dataset (stego_tpu/data/synthetic.py — hard enough that
+cluster mIoU < 100), build KNN caches, train the full pipeline to
+convergence with a RANDOM backbone (no DINO weights offline), and print the
+final Hungarian-matched metrics as one JSON line. Deterministic in the seed;
+record the measured numbers in BASELINE.md and treat drops as regressions.
+
+Usage (defaults reproduce the BASELINE.md row):
+    python scripts/accuracy_bench.py [output_root=/tmp/acc_bench] [steps=300]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    from stego_tpu.config import Config, prep_args
+    from stego_tpu.data.synthetic import write_synthetic_benchmark
+    from stego_tpu.train.app import train
+    from stego_tpu.train.knn_app import precompute_knns
+
+    args = prep_args(argv)
+    out_root = args.pop("output_root", "/tmp/acc_bench")
+    steps = int(args.pop("steps", 300))
+    res = int(args.pop("res", 96))
+    if args:
+        raise SystemExit(f"unknown args: {sorted(args)}")
+
+    data_root = os.path.join(out_root, "data")
+    write_synthetic_benchmark(data_root, res=res)
+
+    cfg = Config(
+        output_root=os.path.join(out_root, "out"),
+        pytorch_data_dir=data_root,
+        dataset_name="directory", dir_dataset_name="synthbench",
+        dir_dataset_n_classes=4,
+        experiment_name="acc_bench",
+        model_type="vit_small", dino_patch_size=8,
+        res=res, val_res=res, batch_size=16, val_batch_size=16,
+        max_steps=steps, val_freq=steps, checkpoint_freq=steps,
+        num_neighbors=4, crop_type=None, loader_crop_type="center",
+        backbone_dtype="bfloat16", cache_dataset=True, seed=0,
+    )
+    precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
+                    res=res, batch_size=16)
+    metrics = train(cfg)
+    print(json.dumps({
+        "benchmark": "synthetic-mosaic accuracy (random ViT-S/8 backbone)",
+        "steps": steps, "res": res,
+        **{k: round(float(v), 2) for k, v in metrics.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

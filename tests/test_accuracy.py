@@ -1,0 +1,60 @@
+"""Accuracy regression gate on the deterministic synthetic mosaic.
+
+The offline proxy for the north star's accuracy half (BASELINE.md): the
+textured-mosaic dataset (stego_tpu/data/synthetic.py) is hard enough that
+cluster mIoU lands strictly below 100 with a random backbone, so drops are
+visible. Thresholds are set well below the measured values (CPU, seed 0:
+linear mIoU ~72 / Acc ~87, cluster mIoU ~22 / Acc ~46 at 40 steps) to absorb
+numeric jitter while still catching real regressions; the full-size chip
+numbers live in BASELINE.md (scripts/accuracy_bench.py).
+"""
+
+import os
+
+import numpy as np
+
+from stego_tpu.config import Config
+from stego_tpu.data.synthetic import write_synthetic_benchmark
+from stego_tpu.models.vit import ViTConfig
+from stego_tpu.train.app import train
+from stego_tpu.train.knn_app import precompute_knns
+
+VIT = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=4, img_size=64)
+
+
+def test_synthetic_mosaic_accuracy(tmp_path):
+    data_root = os.path.join(str(tmp_path), "data")
+    write_synthetic_benchmark(data_root, n_train=32, n_val=8, res=64)
+    cfg = Config(
+        output_root=os.path.join(str(tmp_path), "out"),
+        pytorch_data_dir=data_root,
+        dataset_name="directory", dir_dataset_name="synthbench",
+        dir_dataset_n_classes=4, experiment_name="acc_test",
+        model_type="vit_small", dino_patch_size=8,
+        res=64, val_res=64, batch_size=8, val_batch_size=8,
+        max_steps=40, val_freq=40, checkpoint_freq=40, num_neighbors=4,
+        crop_type=None, loader_crop_type="center", backbone_dtype="float32",
+        cache_dataset=True, seed=0,
+    )
+    precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
+                    vit_cfg=VIT, res=64, batch_size=8)
+    m = train(cfg, vit_cfg=VIT)
+    assert np.isfinite(list(m.values())).all()
+    # regression bands (measured values in the module docstring)
+    assert m["test/linear/mIoU"] >= 50.0, m
+    assert m["test/linear/Accuracy"] >= 70.0, m
+    assert m["test/cluster/mIoU"] >= 12.0, m
+    assert m["test/cluster/Accuracy"] >= 33.0, m
+    # the task must stay non-trivial: cluster probe strictly below ceiling
+    assert m["test/cluster/mIoU"] <= 95.0, m
+
+
+def test_synthetic_generator_deterministic():
+    from stego_tpu.data.synthetic import render_scene
+
+    img_a, lbl_a = render_scene(np.random.default_rng(3), 32, 4)
+    img_b, lbl_b = render_scene(np.random.default_rng(3), 32, 4)
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(lbl_a, lbl_b)
+    assert img_a.min() >= 0.0 and img_a.max() <= 1.0
+    assert set(np.unique(lbl_a)) <= {-1, 0, 1, 2, 3}

@@ -281,3 +281,29 @@ def test_knn_cache_name_encodes_potsdam_ir():
 
     with pytest.raises(ValueError, match="potsdam_ir"):
         Config(dataset_name="cocostuff27", potsdam_ir=True)
+
+
+def test_disk_cache_raw_fallback_for_non_nearest_sources(tmp_path):
+    """A float32 HxWx3 item that is NOT an ImageNet-normalized uint8 source
+    (e.g. a bilinear-resized or float-native image) must fall back to the
+    lossless 'raw' tag instead of silently quantizing to uint8 (~1/255
+    error). The uint8 path verifies its round trip on write."""
+    from stego_tpu.data.loader import DiskCachedDataset
+
+    rng = np.random.default_rng(4)
+    float_img = rng.normal(size=(8, 8, 3)).astype(np.float32)  # not u8-exact
+
+    class FloatDs:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return (float_img, np.zeros((8, 8), np.int64))
+
+    cached = DiskCachedDataset(FloatDs(), str(tmp_path / "c1"))
+    got = cached[0]
+    np.testing.assert_array_equal(np.asarray(got[0]), float_img)
+    # and from disk on the second read
+    got2 = DiskCachedDataset(FloatDs(), str(tmp_path / "c1"),
+                             signature={"cls": "FloatDs", "len": 1})[0]
+    np.testing.assert_array_equal(np.asarray(got2[0]), float_img)
