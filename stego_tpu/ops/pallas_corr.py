@@ -350,12 +350,19 @@ def fused_correlation_loss_multi(
     interpret: bool | None = None,
     feat_dtype=jnp.float32,
     mesh=None,
+    pre_prepped: bool = False,
+    n_real: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All pair types in ONE kernel launch.
 
     Args:
       pairs: sequence of (f1, f2, c1, c2) NHWC tuples, one per pair type; all
-        spatial sizes must match (batch sizes may differ).
+        spatial sizes must match (batch sizes may differ). With
+        ``pre_prepped=True`` the entries are instead already-normalized,
+        padded (B, N_pad, C_pad) arrays (see :func:`_prep`) and ``n_real``
+        must give the unpadded row count — used by the full-field caller to
+        normalize each distinct tensor ONCE and tile/gather prepped rows,
+        instead of re-normalizing (2+neg) stacked copies.
       shifts: per-pair-type loss shift.
       feat_dtype: storage/matmul dtype for the FEATURE side (fd is
         stop-gradient; bfloat16 doubles the fd dot throughput and halves the
@@ -372,15 +379,23 @@ def fused_correlation_loss_multi(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    n = pairs[0][0].shape[1] * pairs[0][0].shape[2]
     group_sizes = tuple(p[0].shape[0] for p in pairs)
 
+    if pre_prepped:
+        assert n_real is not None, "pre_prepped needs n_real"
+        n = n_real
+        prep_f = prep_c = lambda t: t
+    else:
+        n = pairs[0][0].shape[1] * pairs[0][0].shape[2]
+        prep_f = lambda t: _prep(t, feat_dtype)
+        prep_c = _prep
+
     f1 = jax.lax.stop_gradient(
-        jnp.concatenate([_prep(p[0], feat_dtype) for p in pairs], axis=0))
+        jnp.concatenate([prep_f(p[0]) for p in pairs], axis=0))
     f2 = jax.lax.stop_gradient(
-        jnp.concatenate([_prep(p[1], feat_dtype) for p in pairs], axis=0))
-    c1 = jnp.concatenate([_prep(p[2]) for p in pairs], axis=0)
-    c2 = jnp.concatenate([_prep(p[3]) for p in pairs], axis=0)
+        jnp.concatenate([prep_f(p[1]) for p in pairs], axis=0))
+    c1 = jnp.concatenate([prep_c(p[2]) for p in pairs], axis=0)
+    c2 = jnp.concatenate([prep_c(p[3]) for p in pairs], axis=0)
 
     if mesh is not None and mesh.devices.size <= 1:
         mesh = None
@@ -450,6 +465,13 @@ def contrastive_correlation_loss_fused(
     b = orig_feats.shape[0]
     k_c1, k_c2, k_neg = jax.random.split(key, 3)
 
+    shifts = [cfg.pos_intra_shift, cfg.pos_inter_shift]
+    has_neg = cfg.neg_samples > 0
+    if has_neg:
+        perms = [super_perm(b, nk) for nk in jax.random.split(k_neg,
+                                                              cfg.neg_samples)]
+        shifts = shifts + [cfg.neg_inter_shift]
+
     if full_field:
         if cfg.use_salience and orig_salience is not None:
             raise ValueError(
@@ -457,9 +479,30 @@ def contrastive_correlation_loss_fused(
                 "loss has no coordinate draw to bias (reference "
                 "modules.py:355-364 applies salience to coordinate sampling)."
             )
-        feats, code = orig_feats, orig_code
-        feats_pos, code_pos = orig_feats_pos, orig_code_pos
-        coords2 = None
+        # Normalize/pad each DISTINCT tensor once and build the stacked
+        # groups by tiling/gathering prepped (B, N_pad, C_pad) rows — _prep
+        # is per-batch-row, so this is exactly equivalent to prepping the
+        # stacked copies but does 1x instead of (2+neg)x the normalize
+        # traffic on the dense (B, HW, C) maps (round-2 TODO #7: stacked-
+        # pair prep was a measured chunk of the full-field step).
+        n_hw = orig_feats.shape[1] * orig_feats.shape[2]
+        fp = jax.lax.stop_gradient(_prep(orig_feats, feat_dtype))
+        fpp = jax.lax.stop_gradient(_prep(orig_feats_pos, feat_dtype))
+        cp = _prep(orig_code)
+        cpp = _prep(orig_code_pos)
+        pairs = [(fp, fp, cp, cp), (fp, fpp, cp, cpp)]
+        if has_neg:
+            feats_neg = jnp.concatenate([fp[p] for p in perms], axis=0)
+            code_neg = jnp.concatenate([cp[p] for p in perms], axis=0)
+            reps = (cfg.neg_samples, 1, 1)
+            pairs.append((jnp.tile(fp, reps), feats_neg,
+                          jnp.tile(cp, reps), code_neg))
+        losses, cd_means = fused_correlation_loss_multi(
+            pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
+            stabalize=cfg.stabalize, interpret=interpret,
+            feat_dtype=feat_dtype, mesh=mesh, pre_prepped=True, n_real=n_hw,
+        )
+        code = code_pos = None
     else:
         s = cfg.feature_samples
         coords1 = _draw_coords(k_c1, b, s, orig_salience, cfg)
@@ -469,35 +512,26 @@ def contrastive_correlation_loss_fused(
         feats_pos = sample_from_coords(orig_feats_pos, coords2)
         code_pos = sample_from_coords(orig_code_pos, coords2)
 
-    pairs = [
-        (feats, feats, code, code),
-        (feats, feats_pos, code, code_pos),
-    ]
-    shifts = [cfg.pos_intra_shift, cfg.pos_inter_shift]
-
-    if cfg.neg_samples > 0:
-        perms = [super_perm(b, nk) for nk in jax.random.split(k_neg,
-                                                              cfg.neg_samples)]
-        if full_field:
-            feats_neg = jnp.concatenate([orig_feats[p] for p in perms], axis=0)
-            code_neg = jnp.concatenate([orig_code[p] for p in perms], axis=0)
-        else:
+        pairs = [
+            (feats, feats, code, code),
+            (feats, feats_pos, code, code_pos),
+        ]
+        if has_neg:
             feats_neg = jnp.concatenate(
                 [sample_from_coords(orig_feats[p], coords2) for p in perms],
                 axis=0)
             code_neg = jnp.concatenate(
                 [sample_from_coords(orig_code[p], coords2) for p in perms],
                 axis=0)
-        reps = (cfg.neg_samples,) + (1,) * (feats.ndim - 1)
-        pairs.append((jnp.tile(feats, reps), feats_neg,
-                      jnp.tile(code, reps), code_neg))
-        shifts.append(cfg.neg_inter_shift)
+            reps = (cfg.neg_samples,) + (1,) * (feats.ndim - 1)
+            pairs.append((jnp.tile(feats, reps), feats_neg,
+                          jnp.tile(code, reps), code_neg))
 
-    losses, cd_means = fused_correlation_loss_multi(
-        pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
-        stabalize=cfg.stabalize, interpret=interpret, feat_dtype=feat_dtype,
-        mesh=mesh,
-    )
+        losses, cd_means = fused_correlation_loss_multi(
+            pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
+            stabalize=cfg.stabalize, interpret=interpret,
+            feat_dtype=feat_dtype, mesh=mesh,
+        )
     zero = jnp.zeros((), jnp.float32)
     has_neg = cfg.neg_samples > 0
     out = {
