@@ -113,3 +113,16 @@ def test_kv_resident_matches_standard(n):
     got = kv_resident_attention(q, k, v, scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_trunk_attention_vmem_bound_falls_back_to_einsum():
+    """Beyond KV_RESIDENT_MAX_N the kv-resident kernel's (512, N_pad) logits
+    tile would blow VMEM; trunk_attention must return None so the caller's
+    einsum path runs (graceful fallback instead of a compile-time OOM)."""
+    import jax.numpy as jnp
+
+    from stego_tpu.ops.flash_attention import KV_RESIDENT_MAX_N, trunk_attention
+
+    n = KV_RESIDENT_MAX_N + 128
+    q = jnp.zeros((1, 1, n, 8))
+    assert trunk_attention(q, q, q, 0.125) is None
