@@ -107,15 +107,16 @@ def make_eval_step(seg: UnsupervisedSegmenter, run_crf: bool,
 
         restored = restore_dtypes({"img": img, "label": label})
         img, label = restored["img"], restored["label"]
-        # flip-TTA in ONE batched backbone call (original ‖ flipped) — same
-        # MXU-utilization rationale as the train step's batched forward
-        # (train/segmenter.py); halves eval dispatches on ~1 ms-dispatch
-        # platforms vs two sequential net.apply calls.
-        b = img.shape[0]
-        both = jnp.concatenate([img, img[:, :, ::-1]], axis=0)
-        _, code_both = seg.net.apply(backbone, params["head"], both,
-                                     train=False)
-        code = (code_both[:b] + code_both[b:, :, ::-1]) / 2.0
+        # flip-TTA as TWO backbone calls inside this one jitted program.
+        # MEASURED faster than concat-into-one-batched-call on v5e
+        # (scripts/bench_eval.py: 28.5 vs 33.6 ms at res 320 b=8, 9.8 vs
+        # 10.8 ms at res 224): both calls compile into a single XLA program
+        # (no extra dispatch), and two independent half-batch chains
+        # schedule/pipeline better than one doubled chain.
+        _, code1 = seg.net.apply(backbone, params["head"], img, train=False)
+        _, code2 = seg.net.apply(backbone, params["head"], img[:, :, ::-1],
+                                 train=False)
+        code = (code1 + code2[:, :, ::-1]) / 2.0
 
         if not run_crf and not return_probs:
             # argmax-only path: code-res logits + channel-major upsampled
