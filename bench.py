@@ -24,8 +24,11 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_A100_IMGS_PER_SEC = 120.0
-BATCH = 16
-RES = 224
+# env overrides for ad-hoc rows (the driver's default run measures the
+# reference train footprint: ViT-S/8, res 224, batch 16)
+MODEL = os.environ.get("STEGO_BENCH_MODEL", "vit_small")
+BATCH = int(os.environ.get("STEGO_BENCH_BATCH", 16))
+RES = int(os.environ.get("STEGO_BENCH_RES", 224))
 # the remote-tunneled platform runs the first ~10 executions of a program
 # ~2.7x slow (see CLAUDE.md) — warm well past that before timing; the tunnel
 # also adds sporadic multi-ms dispatch jitter, so we time several rounds and
@@ -46,7 +49,7 @@ def main():
     from stego_tpu.train.segmenter import UnsupervisedSegmenter, make_train_step
 
     cfg = Config(
-        model_type="vit_small", dino_patch_size=8, res=RES, batch_size=BATCH,
+        model_type=MODEL, dino_patch_size=8, res=RES, batch_size=BATCH,
         dataset_name="cocostuff27", backbone_dtype="bfloat16",
     )
     seg = UnsupervisedSegmenter(n_classes=27, cfg=cfg)
@@ -160,7 +163,8 @@ def main():
             extra["extra_error"] = str(e)[:120]
 
     print(json.dumps({
-        "metric": "train_imgs_per_sec_per_chip (ViT-S/8, res224, batch16)",
+        "metric": f"train_imgs_per_sec_per_chip ({MODEL}/8, res{RES}, "
+                  f"batch{BATCH})",
         "value": round(imgs_per_sec_per_chip, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / REFERENCE_A100_IMGS_PER_SEC, 3),

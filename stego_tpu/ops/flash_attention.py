@@ -343,15 +343,33 @@ def kv_resident_attention(
 # graceful fallback instead of a VMEM OOM at compile time.
 KV_RESIDENT_MAX_N = 4096
 
+# scoped-VMEM budget for one batch-resident grid step: q/k/v/out blocks are
+# double-buffered by the pipeline, plus one (N_pad, N_pad) f32 logits stack
+# buffer (reused across the head fori_loop). The hardware scoped limit is
+# 16 MiB; ViT-B/8 at res 224 (h=12, N_pad=896, bf16) measures 16.91 MiB and
+# OOMs at compile, while ViT-S (h=6) sits at ~8.7 MiB — dispatch decides.
+BATCH_RESIDENT_VMEM_BUDGET = 13 * 2**20
+
+
+def _batch_resident_fits(h: int, n_pad: int, d: int, itemsize: int) -> bool:
+    io = 4 * h * n_pad * d * itemsize * 2  # q,k,v,out blocks, double-buffered
+    logits = n_pad * n_pad * 4
+    return io + logits <= BATCH_RESIDENT_VMEM_BUDGET
+
 
 def trunk_attention(q, k, v, scale, mesh=None):
-    """Best forward-only attention for the frozen trunk: the VMEM-resident
-    kernel when the whole (N x N) logits tile fits, the kv-resident kernel
-    for longer sequences (res-448: measured vs einsum below), or None —
-    meaning "use the einsum path" — when even that would blow VMEM."""
-    n_pad = -(-q.shape[2] // 128) * 128
+    """Best forward-only attention for the frozen trunk: the all-heads-per-
+    step VMEM-resident kernel when its blocks fit the scoped-VMEM budget
+    (ViT-S), the one-(batch, head)-per-step variant when they don't (ViT-B's
+    12 heads), the kv-resident kernel for longer sequences (res-448:
+    measured vs einsum below), or None — meaning "use the einsum path" —
+    when even that would blow VMEM."""
+    _, h, n, d = q.shape
+    n_pad = -(-n // 128) * 128
     if n_pad <= RESIDENT_MAX_N:
-        return batch_resident_attention(q, k, v, scale, mesh=mesh)
+        if _batch_resident_fits(h, n_pad, d, jnp.dtype(q.dtype).itemsize):
+            return batch_resident_attention(q, k, v, scale, mesh=mesh)
+        return resident_attention(q, k, v, scale, mesh=mesh)
     if n_pad <= KV_RESIDENT_MAX_N:
         return kv_resident_attention(q, k, v, scale, mesh=mesh)
     return None

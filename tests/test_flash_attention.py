@@ -126,3 +126,34 @@ def test_trunk_attention_vmem_bound_falls_back_to_einsum():
     n = KV_RESIDENT_MAX_N + 128
     q = jnp.zeros((1, 1, n, 8))
     assert trunk_attention(q, q, q, 0.125) is None
+
+
+def test_trunk_attention_vmem_dispatch():
+    """ViT-S shapes fit the batch-resident (all heads per step) budget;
+    ViT-B's 12 bf16 heads at N_pad=896 do not (measured 16.91 MiB vs the
+    16 MiB scoped limit on v5e) and must route to the per-(batch, head)
+    resident kernel instead of OOMing at compile."""
+    from stego_tpu.ops.flash_attention import _batch_resident_fits
+
+    assert _batch_resident_fits(6, 896, 64, 2)        # ViT-S/8 res 224 bf16
+    assert not _batch_resident_fits(12, 896, 64, 2)   # ViT-B/8 res 224 bf16
+    assert _batch_resident_fits(4, 128, 8, 4)         # tiny test configs
+
+
+def test_resident_attention_matches_einsum_vit_b_headcount():
+    """The per-(batch, head) resident kernel (ViT-B's dispatch target) must
+    match the einsum oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from stego_tpu.ops.flash_attention import resident_attention
+
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 12, 33, 16)), jnp.float32)
+               for _ in range(3))
+    scale = 0.25
+    got = jax.jit(lambda q, k, v: resident_attention(q, k, v, scale,
+                                                     interpret=True))(q, k, v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -383,3 +383,21 @@ def test_train_step_sharded_device_augs_matches_single(cpu_devices):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(m1["loss/total"]),
                                float(m8["loss/total"]), rtol=1e-4, atol=1e-5)
+
+
+def test_no_hist_step_variant_matches_and_drops_hist_keys():
+    """make_train_step(with_hist=False) is the production hot step: same
+    losses/updates as the hist variant, no hist/ keys, and (fused path) no
+    cd-tensor recomputation in the graph."""
+    cfg, seg, backbone, state = tiny_setup()
+    batch = synthetic_batch(jr.PRNGKey(2))
+    step_h = jax.jit(make_train_step(seg, with_hist=True))
+    step_n = jax.jit(make_train_step(seg, with_hist=False))
+    sh, mh = step_h(backbone, state, batch, jr.PRNGKey(7))
+    sn, mn = step_n(backbone, state, batch, jr.PRNGKey(7))
+    assert any(k.startswith("hist/") for k in mh)
+    assert not any(k.startswith("hist/") for k in mn)
+    np.testing.assert_allclose(float(mh["loss/total"]),
+                               float(mn["loss/total"]), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(sh["params"]), jax.tree.leaves(sn["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
