@@ -223,24 +223,33 @@ def _batch_resident_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_heads):
 def batch_resident_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     interpret: bool | None = None, mesh=None,
+    heads_per_step: int | None = None,
 ) -> jnp.ndarray:
-    """VMEM-resident attention, one batch element (all heads) per grid step."""
+    """VMEM-resident attention, ``heads_per_step`` heads of one batch element
+    per grid step (default: all heads — the measured ViT-S fast path).
+
+    ``heads_per_step`` exists for wide-head models (ViT-B: 12 bf16 heads
+    overflow the 16 MiB scoped-VMEM stack); a head slice keeps the fat DMA
+    blocks while halving the per-step footprint."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     _, h, n, d = q.shape
+    hs = h if heads_per_step is None else int(heads_per_step)
+    assert h % hs == 0, (h, hs)
     n_pad = -(-n // 128) * 128
     assert n_pad <= RESIDENT_MAX_N, "use flash_attention for long sequences"
 
     def run(q, k, v):
         b = q.shape[0]
         return pl.pallas_call(
-            functools.partial(_batch_resident_kernel, scale=scale, n_heads=h),
-            grid=(b,),
+            functools.partial(_batch_resident_kernel, scale=scale,
+                              n_heads=hs),
+            grid=(b, h // hs),
             in_specs=[
-                pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, hs, n, d), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM)
             ] * 3,
-            out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+            out_specs=pl.BlockSpec((1, hs, n, d), lambda i, j: (i, j, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, h, n, d), v.dtype),
             interpret=bool(interpret),
@@ -367,8 +376,12 @@ def trunk_attention(q, k, v, scale, mesh=None):
     _, h, n, d = q.shape
     n_pad = -(-n // 128) * 128
     if n_pad <= RESIDENT_MAX_N:
-        if _batch_resident_fits(h, n_pad, d, jnp.dtype(q.dtype).itemsize):
-            return batch_resident_attention(q, k, v, scale, mesh=mesh)
+        itemsize = jnp.dtype(q.dtype).itemsize
+        # largest head slice per grid step that fits the scoped-VMEM budget
+        for hs in range(h, 0, -1):
+            if h % hs == 0 and _batch_resident_fits(hs, n_pad, d, itemsize):
+                return batch_resident_attention(q, k, v, scale, mesh=mesh,
+                                                heads_per_step=hs)
         return resident_attention(q, k, v, scale, mesh=mesh)
     if n_pad <= KV_RESIDENT_MAX_N:
         return kv_resident_attention(q, k, v, scale, mesh=mesh)

@@ -157,3 +157,25 @@ def test_resident_attention_matches_einsum_vit_b_headcount():
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_batch_resident_heads_per_step_matches_full():
+    """The head-sliced batch-resident variant (ViT-B dispatch) must equal
+    the all-heads kernel and the einsum oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from stego_tpu.ops.flash_attention import batch_resident_attention
+
+    rng = np.random.default_rng(6)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 12, 33, 16)), jnp.float32)
+               for _ in range(3))
+    scale = 0.25
+    full = jax.jit(lambda q, k, v: batch_resident_attention(
+        q, k, v, scale, interpret=True))(q, k, v)
+    sliced = jax.jit(lambda q, k, v: batch_resident_attention(
+        q, k, v, scale, interpret=True, heads_per_step=6))(q, k, v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(sliced), np.asarray(full), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sliced), np.asarray(want), atol=1e-5)
