@@ -52,6 +52,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.epoch = 0
+        self._skip = 0
 
     def _shard_len(self) -> int:
         return len(self.dataset) // self.num_shards if self.num_shards > 1 \
@@ -73,10 +74,27 @@ class DataLoader:
             idx = idx[:usable][self.shard_index::self.num_shards]
         return idx
 
+    def fast_forward(self, n_batches: int) -> None:
+        """Position the loader as if ``n_batches`` had already been consumed
+        from a fresh instance — exact mid-epoch resume. Training consumes
+        exactly one batch per step, so a resumed run calls
+        ``fast_forward(start_step)`` and the stream continues with the very
+        batch the interrupted run would have seen next (epoch permutation and
+        ``dataset.epoch`` pair-sampling state included). Skipped batches are
+        never decoded — this is index arithmetic, not replay. (The reference's
+        Lightning restart re-seeds the epoch instead, replaying from its
+        start; see train_segmentation.py:497 Trainer(..) defaults.)"""
+        nb = len(self)
+        if nb == 0:
+            return
+        self.epoch = n_batches // nb
+        self._skip = n_batches % nb
+
     def _iter_batches(self) -> Iterator[Dict[str, Any]]:
         idx = self._indices()
         nb = len(self)
-        for b in range(nb):
+        start, self._skip = self._skip, 0
+        for b in range(start, nb):
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             if len(chunk) == 0:
                 return

@@ -356,14 +356,18 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     if cfg.resume:
         # every process restores (checkpoints live on a shared FS on pods);
         # PRNG folding is keyed by the absolute step index, so the resumed
-        # run continues the exact key sequence. The input stream restarts at
-        # its epoch seed (same as a Lightning restart without loader state).
+        # run continues the exact key sequence, and the loader fast-forwards
+        # to the exact mid-epoch position (one batch is consumed per step, so
+        # the stream cursor IS the step count — no loader state in the
+        # checkpoint needed). Exceeds Lightning-restart semantics, which
+        # replays the epoch from its start.
         rmgr = mgr or CheckpointManager(ckpt_dir, cfg,
                                         save_top_k=cfg.save_top_k)
         try:
             start_step, restored = rmgr.restore(
                 template=jax.device_get(state))
             state = jax.device_put(restored, rs)
+            train_loader.fast_forward(start_step)
             print(f"resumed from checkpoint step {start_step}")
         except FileNotFoundError:
             print(f"resume=true but no checkpoints in {ckpt_dir}; "

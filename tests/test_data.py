@@ -147,6 +147,27 @@ def test_loader_batches_and_determinism(synthetic_dir):
     np.testing.assert_array_equal(batches[0]["img"], next(iter(loader2))["img"])
 
 
+def test_loader_fast_forward_exact_mid_epoch_resume():
+    """fast_forward(n) continues the stream exactly where a fresh loader
+    would be after consuming n batches — across epoch boundaries, with the
+    per-epoch shuffle permutation intact (train/app.py resume path)."""
+    from stego_tpu.data.loader import infinite_batches
+
+    ds = [{"x": np.full((2, 2), i, np.float32)} for i in range(10)]
+    ref = DataLoader(ds, batch_size=2, shuffle=True, seed=3)  # 5 batches/epoch
+    stream = infinite_batches(ref)
+    consumed = [next(stream) for _ in range(17)]  # 3 epochs + 2 batches
+
+    for n in (3, 5, 7, 12):  # mid-epoch, boundary, 2nd epoch, 3rd epoch
+        res = DataLoader(ds, batch_size=2, shuffle=True, seed=3)
+        res.fast_forward(n)
+        assert res.epoch == n // 5 and res._skip == n % 5
+        rstream = infinite_batches(res)
+        for k in range(n, 17):
+            np.testing.assert_array_equal(consumed[k]["x"],
+                                          next(rstream)["x"])
+
+
 def test_colormaps():
     p = create_pascal_label_colormap()
     c = create_cityscapes_colormap()
