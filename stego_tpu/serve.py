@@ -159,18 +159,15 @@ def package_from_parts(seg, backbone, params, out_dir: str,
                       if n_devices > 1 else None),
     )
 
-    if n_devices == 1:
-        # batch-polymorphic artifact: the batch axis is a symbolic dimension,
-        # so ONE artifact serves any batch size (flip-TTA concat becomes 2*b
-        # symbolically; all spatial dims stay static). SPMD exports keep a
-        # pinned batch — the sharded batch axis must be divisible by the mesh,
-        # which symbolic dims cannot promise.
-        (b_dim,) = jexport.symbolic_shape("b")
-        img_spec = jax.ShapeDtypeStruct((b_dim, res, res, in_chans),
-                                        jnp.float32)
-    else:
-        img_spec = jax.ShapeDtypeStruct((batch_size, res, res, in_chans),
-                                        jnp.float32)
+    # batch-polymorphic artifact: the batch axis is a symbolic dimension, so
+    # ONE artifact serves any batch size (all spatial dims stay static). SPMD
+    # exports use ``n_devices * b`` — the expression guarantees the
+    # divisibility the sharded batch axis needs, so one multi-chip artifact
+    # serves any multiple of the mesh size.
+    (b_dim,) = jexport.symbolic_shape("b")
+    img_spec = jax.ShapeDtypeStruct(
+        (n_devices * b_dim if n_devices > 1 else b_dim, res, res, in_chans),
+        jnp.float32)
     exported = jexport.export(fn)(
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                      backbone),
@@ -190,7 +187,7 @@ def package_from_parts(seg, backbone, params, out_dir: str,
             "res": res, "batch_size": batch_size, "in_chans": in_chans,
             "n_devices": n_devices, "n_classes": seg.n_classes,
             "extra_clusters": seg.cfg.extra_clusters,
-            "batch_polymorphic": n_devices == 1,
+            "batch_polymorphic": True,
             "input": "float32 [0,1] RGB(A), NHWC",
         }, f, indent=2)
     return out_dir
@@ -244,9 +241,15 @@ class ServingModel:
 
     def predict(self, img01: np.ndarray) -> Dict[str, np.ndarray]:
         """img01: (B, res, res, C) float32 in [0, 1] matching meta['res'].
-        Single-device artifacts are batch-polymorphic (any B >= 1); SPMD
-        artifacts need B == meta['batch_size'] (pad the batch if short)."""
+        Artifacts are batch-polymorphic: any B >= 1 single-device, any
+        positive multiple of meta['n_devices'] for SPMD artifacts (pad the
+        batch if short)."""
         if self._batch_sharding is not None:
+            n_dev = int(self.meta.get("n_devices", 1))
+            if len(img01) % n_dev:
+                raise ValueError(
+                    f"SPMD artifact needs a batch divisible by {n_dev}, "
+                    f"got {len(img01)} (pad the final batch)")
             # one transfer, straight to the sharded layout (jnp.asarray would
             # commit to device 0 first and reshard device-to-device)
             img = jax.device_put(np.asarray(img01), self._batch_sharding)

@@ -81,6 +81,17 @@ def test_spmd_package_matches_single_device(tmp_path):
     np.testing.assert_array_equal(out8["cluster_preds"],
                                   out1["cluster_preds"])
 
+    # SPMD artifacts are batch-polymorphic too (n_devices * b symbolic dim):
+    # the SAME artifact serves a 16-image batch, and rejects a batch the mesh
+    # cannot split evenly
+    assert m8.meta["batch_polymorphic"] is True
+    img16 = np.concatenate([img01, img01[::-1]], axis=0)
+    out16 = m8.predict(img16)
+    np.testing.assert_allclose(out16["linear_probs"][:8],
+                               out1["linear_probs"], atol=1e-5)
+    with pytest.raises(ValueError, match="divisible"):
+        m8.predict(img01[:5])
+
 
 def test_spmd_package_batch_divisibility():
     seg, backbone, params = _parts()
