@@ -133,6 +133,10 @@ class Config:
     # (scripts/tpu_parity_check.py) and it is ~8% faster end-to-end; cd
     # histograms stay available in sampled mode (return_cd_tensors).
     use_pallas_loss: bool = True
+    # Run the fused loss's code-side MXU contractions in bfloat16 (f32
+    # accumulation; primals/grads stay f32). cd tiles gain ~1e-2 abs error —
+    # measured step-time delta and tolerance rows in CLAUDE.md / test_pallas.
+    pallas_loss_bf16: bool = False
     # Pallas attention kernel for the frozen trunk (unrolls the block scan).
     # None = auto: on for bfloat16 backbones, off for float32 (parity/tests).
     use_flash_attention: Optional[bool] = None

@@ -71,6 +71,9 @@ class _Static(NamedTuple):
     interpret: bool
     mesh: object = None             # jax Mesh (hashable): >1 device runs the
                                     # kernels per batch shard via shard_map
+    code_bf16: bool = False         # cast code tiles to bf16 INSIDE the
+                                    # kernels (f32 accum): primals/grads stay
+                                    # f32, only the MXU dots drop precision
 
 
 def _clamp_bounds(st: _Static) -> Tuple[float, float]:
@@ -92,7 +95,16 @@ def _group_slices(st: _Static):
 # forward kernel
 
 
-def _fwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, acc_ref, *, lo, hi):
+def _code_tile(ref, code_bf16):
+    """Code tile in the dot dtype: the kernel-side bf16 cast keeps primals,
+    residuals, and gradients f32 — only the MXU contraction (whose f32 form
+    runs ~4x slower on v5e) sees the reduced precision."""
+    t = ref[0]
+    return t.astype(jnp.bfloat16) if code_bf16 else t
+
+
+def _fwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, acc_ref, *, lo, hi,
+                code_bf16):
     """acc rows: 0=s1, 1=s2, 2=s3, 3=cd_sum (over the col dimension)."""
     q = pl.program_id(1)
     k = pl.program_id(2)
@@ -106,7 +118,8 @@ def _fwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, acc_ref, *, lo, hi):
         preferred_element_type=jnp.float32,
     )
     cd = jax.lax.dot_general(
-        c1_ref[0], c2_ref[0], (((1,), (1,)), ((), ())),
+        _code_tile(c1_ref, code_bf16), _code_tile(c2_ref, code_bf16),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     cdc = jnp.clip(cd, lo, hi)
@@ -126,7 +139,8 @@ def _run_fwd(f1, f2, c1, c2, st: _Static):
         cc = c1.shape[-1]
         nq, nk = n_pad // TQ, n_pad // TK
         return pl.pallas_call(
-            functools.partial(_fwd_kernel, lo=lo, hi=hi),
+            functools.partial(_fwd_kernel, lo=lo, hi=hi,
+                              code_bf16=st.code_bf16),
             grid=(b, nq, nk),
             in_specs=[
                 pl.BlockSpec((1, TQ, cf), lambda b, q, k: (b, q, 0),
@@ -184,7 +198,7 @@ def _finalize(s1, s2, s3, cds, st: _Static):
 
 
 def _coeff_tile(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref, q,
-                lo, hi, pointwise):
+                lo, hi, pointwise, code_bf16):
     """Recompute the (TQ, TK) dL/dcd tile (fd/cd are never stored).
 
     sc row layout: 0=g_loss, 1=g_cdm, 2=gm, 3=shift, 4=inv_m."""
@@ -199,7 +213,8 @@ def _coeff_tile(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref, q,
         preferred_element_type=jnp.float32,
     )
     cd = jax.lax.dot_general(
-        c1_ref[0], c2_ref[0], (((1,), (1,)), ((), ())),
+        _code_tile(c1_ref, code_bf16), _code_tile(c2_ref, code_bf16),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     mask = ((cd >= lo) & (cd <= hi)).astype(jnp.float32)
@@ -212,7 +227,8 @@ def _coeff_tile(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref, q,
 
 
 def _bwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref,
-                dc1_ref, dc2_ref, dc2_scr, *, lo, hi, pointwise, nq, nk):
+                dc1_ref, dc2_ref, dc2_scr, *, lo, hi, pointwise, nq, nk,
+                code_bf16):
     """ONE pass computes both code gradients: the dL/dcd tile is recomputed
     once (round 1 ran two kernels, each recomputing the fd/cd tiles — a third
     of the backward matmul work was redundant). dc1 accumulates in its output
@@ -231,12 +247,15 @@ def _bwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref,
         dc2_scr[...] = jnp.zeros_like(dc2_scr)
 
     coeff = _coeff_tile(f1_ref, f2_ref, c1_ref, c2_ref, rm_ref, sc_ref, q,
-                        lo, hi, pointwise)
-    dc1_ref[0] += jnp.dot(coeff, c2_ref[0],
+                        lo, hi, pointwise, code_bf16)
+    # in bf16 mode the grad dots also run bf16 (coeff cast too; f32 accum) —
+    # these are the remaining f32 contractions of the backward pass
+    coeff_d = coeff.astype(jnp.bfloat16) if code_bf16 else coeff
+    dc1_ref[0] += jnp.dot(coeff_d, _code_tile(c2_ref, code_bf16),
                           preferred_element_type=jnp.float32)
     # dc2_j += Σ_i coeff_ij * c1_i  — contract over the row dimension
     dc2_scr[pl.ds(k * TK, TK)] += jax.lax.dot_general(
-        coeff, c1_ref[0], (((0,), (0,)), ((), ())),
+        coeff_d, _code_tile(c1_ref, code_bf16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -265,7 +284,8 @@ def _run_bwd(f1, f2, c1, c2, rowmean, scalars, st: _Static):
         ]
         out = pl.pallas_call(
             functools.partial(_bwd_kernel, lo=lo, hi=hi,
-                              pointwise=st.pointwise, nq=nq, nk=nk),
+                              pointwise=st.pointwise, nq=nq, nk=nk,
+                              code_bf16=st.code_bf16),
             grid=(b, nq, nk),
             in_specs=in_specs,
             out_specs=[
@@ -352,6 +372,7 @@ def fused_correlation_loss_multi(
     mesh=None,
     pre_prepped: bool = False,
     n_real: int | None = None,
+    code_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All pair types in ONE kernel launch.
 
@@ -368,7 +389,12 @@ def fused_correlation_loss_multi(
         stop-gradient; bfloat16 doubles the fd dot throughput and halves the
         stacked-pair prep traffic — appropriate when the features already
         come from a bf16 trunk). The code side (gradient-carrying cd dots)
-        always stays float32.
+        stays float32 unless ``code_bf16``.
+      code_bf16: cast the code tiles (and the backward's dL/dcd coefficient)
+        to bfloat16 INSIDE the kernels, with f32 accumulation. Primals,
+        residuals, and returned gradients stay f32 — only the MXU
+        contractions lose precision (cd abs error ~1e-2; see
+        test_pallas.py tolerance rows). Opt-in via cfg.pallas_loss_bf16.
       mesh: a >1-device Mesh runs the fwd/bwd kernels per batch shard
         (shard_map); the stacked-group batch dim must divide the mesh size.
         The finalize reductions and negative gathers stay in plain XLA and
@@ -404,7 +430,7 @@ def fused_correlation_loss_multi(
         group_sizes=group_sizes,
         pointwise=bool(pointwise), zero_clamp=bool(zero_clamp),
         stabalize=bool(stabalize), n_real=n, interpret=bool(interpret),
-        mesh=mesh,
+        mesh=mesh, code_bf16=bool(code_bf16),
     )
     return _fused_core(f1, f2, c1, c2, st)
 
@@ -419,11 +445,13 @@ def fused_correlation_loss(
     zero_clamp: bool = True,
     stabalize: bool = False,
     interpret: bool | None = None,
+    code_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-pair fused loss (one group). Returns (loss_mean, cd_mean)."""
     losses, cd_means = fused_correlation_loss_multi(
         [(f1, f2, c1, c2)], [shift], pointwise=pointwise,
         zero_clamp=zero_clamp, stabalize=stabalize, interpret=interpret,
+        code_bf16=code_bf16,
     )
     return losses[0], cd_means[0]
 
@@ -442,6 +470,7 @@ def contrastive_correlation_loss_fused(
     return_cd_tensors: bool = False,
     feat_dtype=jnp.float32,
     mesh=None,
+    code_bf16: bool = False,
 ):
     """Three-pair contrastive loss through the fused kernel.
 
@@ -501,6 +530,7 @@ def contrastive_correlation_loss_fused(
             pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
             stabalize=cfg.stabalize, interpret=interpret,
             feat_dtype=feat_dtype, mesh=mesh, pre_prepped=True, n_real=n_hw,
+            code_bf16=code_bf16,
         )
         code = code_pos = None
     else:
@@ -530,7 +560,7 @@ def contrastive_correlation_loss_fused(
         losses, cd_means = fused_correlation_loss_multi(
             pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
             stabalize=cfg.stabalize, interpret=interpret,
-            feat_dtype=feat_dtype, mesh=mesh,
+            feat_dtype=feat_dtype, mesh=mesh, code_bf16=code_bf16,
         )
     zero = jnp.zeros((), jnp.float32)
     has_neg = cfg.neg_samples > 0

@@ -181,8 +181,10 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
             return_cd_tensors=with_hist and not cfg.full_field_loss,
             # feature-side (stop-grad) tiles in bf16 when the features come
             # from a bf16 trunk anyway; code-side dots stay f32 for grads
+            # unless pallas_loss_bf16 opts in (kernel-internal cast)
             feat_dtype=(jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
                         else jnp.float32),
+            code_bf16=cfg.pallas_loss_bf16,
         )
     else:
         out = contrastive_correlation_loss(

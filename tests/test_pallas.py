@@ -49,6 +49,38 @@ def test_fused_forward_matches_oracle(pointwise, zero_clamp, stabalize):
                                atol=1e-6)
 
 
+def test_fused_code_bf16_tolerance():
+    """pallas_loss_bf16: code tiles (and backward coefficients) drop to bf16
+    inside the kernels. The TOLERANCE STORY for the opt-in flag: loss within
+    1% of the f32 oracle, gradients aligned to >0.995 cosine (measured
+    ~0.9985 — bf16's 8-bit mantissa) with <2% norm error. (Entries where the
+    bf16 cd rounds across the clamp boundary can differ elementwise — the
+    aggregate bounds are the contract.)"""
+    f1, f2, c1, c2 = _data(jr.PRNGKey(7), b=2, h=8, w=8, cf=12, cc=7)
+    cfg = CorrLossCfg(pointwise=True)
+    shift = 0.12
+
+    def loss_oracle(c1, c2):
+        return oracle(f1, f2, c1, c2, shift, cfg)[0]
+
+    def loss_bf16(c1, c2):
+        return fused_correlation_loss(f1, f2, c1, c2, shift,
+                                      interpret=True, code_bf16=True)[0]
+
+    want = float(loss_oracle(c1, c2))
+    got = float(loss_bf16(c1, c2))
+    assert abs(got - want) <= max(1e-2 * abs(want), 5e-4)
+
+    g_want = jax.grad(loss_oracle, argnums=(0, 1))(c1, c2)
+    g_got = jax.grad(loss_bf16, argnums=(0, 1))(c1, c2)
+    for a, b in zip(g_want, g_got):
+        assert b.dtype == jnp.float32  # grads stay f32 (kernel-internal cast)
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        assert np.dot(a, b) / (na * nb) > 0.995
+        assert abs(nb - na) / na < 2e-2
+
+
 @pytest.mark.parametrize("pointwise", [True, False])
 def test_fused_grad_matches_oracle(pointwise):
     f1, f2, c1, c2 = _data(jr.PRNGKey(1))
