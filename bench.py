@@ -159,6 +159,48 @@ def main():
                 float(jnp.sum(out["conf_cluster"]))
                 v_dt = min(v_dt, (time.perf_counter() - t0) / 10)
             extra["val_step_ms"] = round(v_dt * 1e3, 2)
+
+            # frozen-backbone feature-cache mode (cache_backbone_feats=true,
+            # train/feat_cache.py): the step gathers precomputed trunk
+            # features from HBM by int32 index — head + losses + 3 Adam
+            # updates only, no backbone forward
+            from stego_tpu.train.segmenter import make_cached_train_step
+
+            hp = RES // seg.vit_cfg.patch_size
+            kc = jax.random.fold_in(key, 9)
+            cache = {
+                "feats": jax.device_put(jax.random.normal(
+                    kc, (256, hp, hp, seg.vit_cfg.embed_dim),
+                    jnp.bfloat16), rsh),
+                "label": jax.device_put(jax.random.randint(
+                    jax.random.fold_in(kc, 1), (256, RES, RES), -1, 27,
+                    jnp.int16), rsh),
+            }
+            cb = {
+                "ind": jax.device_put(jax.random.randint(
+                    jax.random.fold_in(kc, 2), (BATCH,), 0, 256, jnp.int32),
+                    bsh),
+                "ind_pos": jax.device_put(jax.random.randint(
+                    jax.random.fold_in(kc, 3), (BATCH,), 0, 256, jnp.int32),
+                    bsh),
+            }
+            step_c = jax.jit(make_cached_train_step(seg, with_hist=False),
+                             donate_argnums=(1,))
+            state_c = jax.device_put(
+                seg.init_state(jax.random.fold_in(key, 8)), rsh)
+            for i in range(WARMUP):
+                state_c, m_c = step_c(cache, state_c, cb,
+                                      jax.random.fold_in(key, 500 + i))
+            sync(m_c)
+            c_dt = float("inf")
+            for r in range(ROUNDS):
+                t0 = time.perf_counter()
+                for i in range(STEPS):
+                    state_c, m_c = step_c(cache, state_c, cb,
+                                          jax.random.fold_in(key, 600 + i))
+                sync(m_c)
+                c_dt = min(c_dt, (time.perf_counter() - t0) / STEPS)
+            extra["feat_cached_imgs_per_sec"] = round(BATCH / c_dt / n_dev, 1)
         except Exception as e:  # secondary metrics must never break the bench
             extra["extra_error"] = str(e)[:120]
 

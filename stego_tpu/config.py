@@ -174,6 +174,14 @@ class Config:
     # re-decode everything; see data/loader.py:DiskCachedDataset). Same
     # determinism requirement as cache_dataset. Empty = off.
     cache_dataset_dir: str = ""
+    # run the FROZEN backbone once over the train split and keep its features
+    # (+ labels/masks) resident in HBM: each step then gathers from the cache
+    # by int32 index — no decode, no image transfer, no backbone forward
+    # (train/feat_cache.py). Requires a deterministic loader transform and
+    # image-free losses; the step math is identical to the uncached path.
+    cache_backbone_feats: bool = False
+    # refuse to build a feature cache larger than this many GiB of HBM
+    feat_cache_max_gb: float = 12.0
     # SIGTERM -> checkpoint after the in-flight step, then exit cleanly
     # (TPU-pod preemption safety; pairs with resume=true). Handlers install
     # only on the main thread.

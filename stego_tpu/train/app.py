@@ -33,7 +33,7 @@ from stego_tpu.utils.logging import MetricLogger
 from stego_tpu.utils.metrics import UnsupervisedMetrics
 
 TRAIN_BATCH_KEYS = ("img", "label", "img_pos", "label_pos", "mask", "mask_pos",
-                    "img_aug", "coord_aug")
+                    "img_aug", "coord_aug", "ind", "ind_pos")
 
 
 def get_class_labels(dataset_name: str):
@@ -308,8 +308,26 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     backbone = jax.device_put(backbone, rs)
     state = jax.device_put(state, rs)
 
+    # Frozen-backbone feature cache: one backbone pass now, index-only
+    # batches afterwards (train/feat_cache.py — beyond-reference; the
+    # reference recomputes identical DINO features every epoch).
+    feat_cache = None
+    if cfg.cache_backbone_feats:
+        from stego_tpu.train.feat_cache import build_feat_cache
+
+        t_fc = time.time()
+        feat_cache = build_feat_cache(seg, backbone, train_dataset, cfg, mesh)
+        fc_gb = sum(a.nbytes for a in feat_cache.values()) / 2**30
+        print(f"feature cache: {len(train_dataset)} items, {fc_gb:.2f} GiB "
+              f"in HBM, built in {time.time() - t_fc:.1f}s")
+
     def _jit_step(with_hist: bool):
-        raw_step = make_train_step(seg, with_hist=with_hist)
+        if feat_cache is not None:
+            from stego_tpu.train.segmenter import make_cached_train_step
+
+            raw_step = make_cached_train_step(seg, with_hist=with_hist)
+        else:
+            raw_step = make_train_step(seg, with_hist=with_hist)
         if cfg.checkify:
             # sanitizer mode (SURVEY.md §5): float checks on every op; errors
             # surface with source locations instead of silent NaN propagation
@@ -343,7 +361,13 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             f"batch sizes ({cfg.batch_size}, val {val_bs}) must be divisible "
             f"by the mesh size {d} (Pallas kernels shard the batch evenly)")
     pi = jax.process_index()
-    train_loader = DataLoader(train_dataset, cfg.batch_size // pc,
+    if feat_cache is not None:
+        from stego_tpu.train.feat_cache import FeatCacheSampler
+
+        train_items = FeatCacheSampler(train_dataset)
+    else:
+        train_items = train_dataset
+    train_loader = DataLoader(train_items, cfg.batch_size // pc,
                               shuffle=True, seed=cfg.seed,
                               num_shards=pc, shard_index=pi)
     val_loader = DataLoader(val_dataset, val_bs // pc, shuffle=False,
@@ -381,11 +405,14 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     # only ship what the step consumes — the host->device link is the
     # bottleneck on tunneled setups (masks only matter under use_salience,
     # aug tensors only under aug_alignment)
-    step_keys = ["img", "label", "img_pos", "label_pos"]
-    if cfg.use_salience:
-        step_keys += ["mask", "mask_pos"]
-    if cfg.aug_alignment_weight > 0 and not cfg.device_augs:
-        step_keys += ["img_aug", "coord_aug"]
+    if feat_cache is not None:
+        step_keys = ["ind", "ind_pos"]
+    else:
+        step_keys = ["img", "label", "img_pos", "label_pos"]
+        if cfg.use_salience:
+            step_keys += ["mask", "mask_pos"]
+        if cfg.aug_alignment_weight > 0 and not cfg.device_augs:
+            step_keys += ["img_aug", "coord_aug"]
 
     # Preemption safety (TPU pods are routinely preempted): SIGTERM requests
     # a checkpoint-and-exit after the in-flight step instead of killing the
@@ -434,8 +461,12 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                 dev_batch = _device_batch(batch, bs)
             hist_step = bool(cfg.hist_freq) and \
                 (step_idx + 1) % cfg.hist_freq == 0
-            state, metrics = (train_step_hist if hist_step else train_step)(
-                backbone, state, dev_batch,
+            step_fn = train_step_hist if hist_step else train_step
+            # cached mode: first positional arg is the feature cache, not the
+            # backbone — indices were device_put like any batch above
+            first = feat_cache if feat_cache is not None else backbone
+            state, metrics = step_fn(
+                first, state, dev_batch,
                 jax.random.fold_in(k_steps, step_idx),
             )
             imgs_seen += cfg.batch_size

@@ -1,0 +1,146 @@
+"""Device-resident frozen-backbone feature cache (beyond-reference).
+
+STEGO's backbone is frozen (reference no-grad region, src/modules.py:85) and
+its loader transform is deterministic per index outside of
+``loader_crop_type="random"`` — yet the reference recomputes the identical
+DINO features for every image on every epoch, and those three no-grad ViT
+forwards are ~95% of the measured train step. ``cache_backbone_feats=true``
+runs the backbone ONCE over the train split, keeps ``(feats, label[, mask])``
+resident in HBM, and trains head + probes from int32 index batches: the
+host->device wire carries ~8 bytes per image per step and the step itself is
+head/loss/optimizer work only.
+
+This is the same philosophy as the reference's own five-crop materializer
+(src/crop_datasets.py) moved one level up the stack, and the TPU-idiomatic
+counterpart of its MaterializedDataset dead code (src/data.py:403-416):
+device-resident data, zero host round-trips, static shapes.
+
+Semantics are EXACTLY the standard step's (shared ``_update_from_feats``;
+tests/test_feat_cache.py proves step-for-step equivalence); the mode refuses
+configurations whose losses need per-step images (aug alignment, CRF loss)
+or nondeterministic decoding (random loader crops).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stego_tpu.config import Config
+from stego_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+def validate_feat_cache_cfg(cfg: Config) -> None:
+    """Reject configurations the cache cannot represent faithfully."""
+    if cfg.arch != "dino":
+        raise ValueError(
+            "cache_backbone_feats supports arch=dino (the FPN arm's BatchNorm "
+            "head consumes multi-scale taps whose running stats the cache "
+            "would freeze)")
+    if cfg.loader_crop_type == "random":
+        raise ValueError(
+            "cache_backbone_feats requires a deterministic loader transform: "
+            "loader_crop_type='random' decodes a different crop every epoch "
+            "(use crop_type=five materialized crops instead — the reference's "
+            "own crop_datasets.py pattern)")
+    if cfg.aug_alignment_weight > 0:
+        raise ValueError(
+            "cache_backbone_feats is incompatible with aug_alignment_weight>0:"
+            " the augmented view must pass through the backbone every step")
+    if cfg.crf_weight > 0:
+        raise ValueError(
+            "cache_backbone_feats is incompatible with crf_weight>0: the CRF "
+            "loss consumes per-step images")
+
+
+def estimate_cache_gb(cfg: Config, seg, n_items: int) -> float:
+    """Upfront HBM estimate (feats + labels [+ masks]), in GiB."""
+    hp = cfg.res // seg.vit_cfg.patch_size
+    feat_itemsize = 2 if cfg.backbone_dtype == "bfloat16" else 4
+    per_item = hp * hp * seg.net.n_feats * feat_itemsize
+    per_item += cfg.res * cfg.res * 2  # int16 labels
+    if cfg.use_salience:
+        per_item += cfg.res * cfg.res * 2  # float16 masks
+    return n_items * per_item / 2**30
+
+
+def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
+                     mesh, batch_size: int | None = None) -> Dict[str, Any]:
+    """One backbone pass over the (deterministic) base dataset.
+
+    Returns a dict of replicated device arrays indexed by base-dataset index:
+    ``feats`` (N, H/p, W/p, C) in the trunk dtype, ``label`` (N, res, res)
+    int16, and ``mask`` (N, res, res) float16 when ``use_salience``. The
+    replication means ``jnp.take`` with batch-sharded indices needs no
+    collectives on any mesh.
+    """
+    validate_feat_cache_cfg(cfg)
+    base = contrastive_ds.dataset
+    n = len(base)
+    est = estimate_cache_gb(cfg, seg, n)
+    if est > cfg.feat_cache_max_gb:
+        raise ValueError(
+            f"feature cache for {n} items would need ~{est:.1f} GiB "
+            f"(> feat_cache_max_gb={cfg.feat_cache_max_gb}); this dataset is "
+            "too large for device residency — raise the cap if HBM allows, "
+            "or train without cache_backbone_feats")
+
+    d = mesh.devices.size
+    b = batch_size or max(cfg.batch_size, d)
+    b = -(-b // d) * d  # divisible by the mesh for batch-sharded puts
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    fwd = jax.jit(seg.net.backbone_features)
+
+    feat_parts, labels, masks = [], [], []
+    for start in range(0, n, b):
+        idxs = range(start, min(start + b, n))
+        items = [base[i] for i in idxs]
+        imgs = np.stack([it[0] for it in items])
+        labels.append(np.stack([it[1] for it in items]).astype(np.int16))
+        if cfg.use_salience:
+            masks.append(np.stack([it[2] for it in items]).astype(np.float16))
+        pad = b - len(items)
+        if pad:  # keep ONE compiled shape for the final short chunk
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        f = fwd(backbone, jax.device_put(jnp.asarray(imgs), bs))
+        if pad:
+            f = f[:len(items)]
+        feat_parts.append(f)
+
+    cache = {
+        "feats": jax.device_put(jnp.concatenate(feat_parts, axis=0), rs),
+        "label": jax.device_put(jnp.asarray(np.concatenate(labels)), rs),
+    }
+    if cfg.use_salience:
+        cache["mask"] = jax.device_put(jnp.asarray(np.concatenate(masks)), rs)
+    return cache
+
+
+class FeatCacheSampler:
+    """Index-only mirror of ``ContrastiveSegDataset.__getitem__``'s pair draw.
+
+    Reproduces the neighbor selection exactly — same ``(seed, epoch, ind)``
+    Generator, same first draw (data/contrastive.py:163-169; reference
+    data.py:524) — without decoding any image, so the cached mode samples the
+    very (ind, ind_pos) sequence the image pipeline would have fed the step.
+    ``DataLoader`` drives ``epoch`` like any dataset's.
+    """
+
+    def __init__(self, contrastive_ds):
+        self.ds = contrastive_ds
+        self.epoch = 0
+        self.use_pos = contrastive_ds.pos_images or contrastive_ds.pos_labels
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def __getitem__(self, ind: int) -> Dict[str, np.ndarray]:
+        out = {"ind": np.int32(ind)}
+        if self.use_pos:
+            rng = np.random.default_rng((self.ds.seed, self.epoch, ind))
+            nn_choice = int(rng.integers(1, self.ds.num_neighbors + 1))
+            out["ind_pos"] = np.int32(self.ds.nns[ind][nn_choice])
+        return out

@@ -227,6 +227,171 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
     return corr_loss, metrics
 
 
+def _split_step_keys(key: jax.Array):
+    """The train step's 8-way key split, shared by the image and the
+    feature-cache step variants so both consume the identical key sequence
+    (the cached-step equivalence tests rely on it)."""
+    names = ("head1", "head2", "feat1", "feat2", "corr", "crf", "head3", "aug")
+    return dict(zip(names, jax.random.split(key, 8)))
+
+
+def _update_from_feats(seg: UnsupervisedSegmenter, opts, with_hist: bool,
+                       state: Dict[str, Any], ks: Dict[str, jax.Array],
+                       image_feat, image_feat_pos, image_feat_aug,
+                       batch: Dict[str, Any]):
+    """Everything after the frozen backbone: head code, losses, gradients, the
+    three Adam updates (reference training_step below its net() calls,
+    train_segmentation.py:134-230). ``batch`` carries label and — as the
+    configured losses demand — label_pos / mask / mask_pos / coord_aug / img.
+    Shared by :func:`make_train_step` (features from images in-step) and
+    :func:`make_cached_train_step` (features gathered from the device cache).
+    """
+    cfg = seg.cfg
+    use_pos = cfg.correspondence_weight > 0
+    use_aug = image_feat_aug is not None
+    label = batch["label"]
+
+    def loss_fn(trainable: Params):
+        metrics: Dict[str, jnp.ndarray] = {}
+        code = seg.net.head_code(trainable["head"], image_feat, train=True,
+                                 rng=ks["head1"])
+        feats = seg.net.signal(image_feat)
+        if cfg.dropout and seg.net.use_dropout:
+            feats = dropout2d(feats, seg.net.dropout_p, ks["feat1"])
+        loss = jnp.zeros((), jnp.float32)
+
+        if use_pos:
+            code_pos = seg.net.head_code(trainable["head"], image_feat_pos,
+                                         train=True, rng=ks["head2"])
+            feats_pos = seg.net.signal(image_feat_pos)
+            if cfg.dropout and seg.net.use_dropout:
+                feats_pos = dropout2d(feats_pos, seg.net.dropout_p,
+                                      ks["feat2"])
+            if cfg.use_true_labels:
+                signal = one_hot_feats(label + 1, seg.n_classes + 1)
+                signal_pos = one_hot_feats(batch["label_pos"] + 1,
+                                           seg.n_classes + 1)
+            else:
+                signal, signal_pos = feats, feats_pos
+            salience = batch.get("mask") if cfg.use_salience else None
+            salience_pos = batch.get("mask_pos") if cfg.use_salience else None
+            corr_loss, corr_metrics = _corr_pair_losses(
+                seg, cfg, ks["corr"], signal, signal_pos, code, code_pos,
+                salience, salience_pos, with_hist=with_hist,
+            )
+            loss = loss + corr_loss
+            metrics.update(corr_metrics)
+
+        if cfg.rec_weight > 0:
+            rec_feats = decoder_apply(trainable["decoder"], code)
+            rec_loss = -jnp.mean(jnp.sum(
+                l2_normalize(rec_feats) * l2_normalize(feats), axis=-1
+            ))
+            loss = loss + cfg.rec_weight * rec_loss
+            metrics["loss/rec"] = rec_loss
+
+        if use_aug:
+            code_aug = seg.net.head_code(trainable["head"], image_feat_aug,
+                                         train=True, rng=ks["head3"])
+            hw = code_aug.shape[1:3]
+            coord_small = interpolate(batch["coord_aug"], hw, "bilinear",
+                                      align_corners=False)
+            # reference sample() quirk: the dataset stores (y, x) coords and
+            # sample() transposes the grid — the two swaps cancel on square
+            # inputs (train_segmentation.py:189-198, data.py:530-532).
+            resampled = sample_from_coords(code, coord_small)
+            aug_alignment = -jnp.mean(jnp.sum(
+                l2_normalize(resampled) * l2_normalize(code_aug), axis=-1
+            ))
+            loss = loss + cfg.aug_alignment_weight * aug_alignment
+            metrics["loss/aug_alignment"] = aug_alignment
+
+        if cfg.crf_weight > 0:
+            crf = jnp.mean(contrastive_crf_loss(
+                seg.crf_cfg, ks["crf"],
+                interpolate(batch["img"], 56, "bilinear",
+                            align_corners=False),
+                l2_normalize(
+                    interpolate(code, 56, "bilinear", align_corners=False)
+                ),
+            ))
+            loss = loss + cfg.crf_weight * crf
+            metrics["loss/crf"] = crf
+
+        detached_code = jax.lax.stop_gradient(code)
+
+        linear_logits = linear_probe_logits(trainable["linear_probe"],
+                                            detached_code)
+        # Fused channel-major upsample+CE (reference
+        # train_segmentation.py:210-218): the naive NHWC chain was ~12 ms
+        # of the step — the ~27-class lane axis pads to 128 on every
+        # (B, res, res, C) pass (ops/probe_ce.py). bf16 upsample traffic
+        # for bf16 trunks; f32 trunks keep exact parity.
+        ce_dtype = (jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
+                    else jnp.float32)
+        linear_loss = upsampled_masked_cross_entropy(
+            linear_logits, label, seg.n_classes, compute_dtype=ce_dtype)
+        loss = loss + linear_loss
+        metrics["loss/linear"] = linear_loss
+
+        cluster_loss, _ = cluster_lookup(trainable["cluster_probe"],
+                                         detached_code, alpha=None)
+        loss = loss + cluster_loss
+        metrics["loss/cluster"] = cluster_loss
+        metrics["loss/total"] = loss
+        return loss, metrics
+
+    params = state["params"]
+    trainable = {
+        "head": params["head"],
+        "linear_probe": params["linear_probe"],
+        "cluster_probe": params["cluster_probe"],
+        "decoder": params["decoder"],
+    }
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(trainable)
+
+    net_group = {"head": params["head"]}
+    net_grads = {"head": grads["head"]}
+    if cfg.rec_weight > 0:
+        net_group["decoder"] = params["decoder"]
+        net_grads["decoder"] = grads["decoder"]
+    net_up, net_opt = opts["net"].update(net_grads, state["opt"]["net"],
+                                         net_group)
+    net_new = optax.apply_updates(net_group, net_up)
+
+    lin_up, lin_opt = opts["linear"].update(
+        grads["linear_probe"], state["opt"]["linear"], params["linear_probe"]
+    )
+    lin_new = optax.apply_updates(params["linear_probe"], lin_up)
+
+    clu_up, clu_opt = opts["cluster"].update(
+        grads["cluster_probe"], state["opt"]["cluster"],
+        params["cluster_probe"]
+    )
+    clu_new = optax.apply_updates(params["cluster_probe"], clu_up)
+
+    new_params = dict(params)
+    new_params["head"] = net_new["head"]
+    if cfg.rec_weight > 0:
+        new_params["decoder"] = net_new["decoder"]
+    new_params["linear_probe"] = lin_new
+    new_params["cluster_probe"] = clu_new
+
+    if getattr(seg.net, "has_bn_state", False):
+        # refresh BatchNorm running statistics (FPN arm; torch BN buffers
+        # are updated on the train-mode forward — here after the optimizer
+        # step, gradient-free)
+        new_params["head"] = seg.net.bn_state_update(new_params["head"],
+                                                     image_feat)
+
+    new_state = {
+        "params": new_params,
+        "opt": {"net": net_opt, "linear": lin_opt, "cluster": clu_opt},
+        "step": state["step"] + 1,
+    }
+    return new_state, metrics
+
+
 def make_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
     """Build the jittable train step.
 
@@ -251,10 +416,7 @@ def make_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
 
         batch = restore_dtypes(batch)
         img = batch["img"]
-        label = batch["label"]
-        k_head1, k_head2, k_feat1, k_feat2, k_corr, k_crf, k_head3, k_aug = (
-            jax.random.split(key, 8)
-        )
+        ks = _split_step_keys(key)
 
         use_aug = cfg.aug_alignment_weight > 0
         if use_aug:
@@ -264,7 +426,7 @@ def make_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
                 # a single core; ops/augment.py)
                 from stego_tpu.ops.augment import device_augment
 
-                img_aug, coord_aug = device_augment(k_aug, img)
+                img_aug, coord_aug = device_augment(ks["aug"], img)
             else:
                 img_aug, coord_aug = batch["img_aug"], batch["coord_aug"]
         else:
@@ -291,143 +453,64 @@ def make_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
         image_feat_pos = chunks[1] if use_pos else None
         image_feat_aug = chunks[-1] if use_aug else None
 
-        def loss_fn(trainable: Params):
-            metrics: Dict[str, jnp.ndarray] = {}
-            code = seg.net.head_code(trainable["head"], image_feat, train=True,
-                                     rng=k_head1)
-            feats = seg.net.signal(image_feat)
-            if cfg.dropout and seg.net.use_dropout:
-                feats = dropout2d(feats, seg.net.dropout_p, k_feat1)
-            loss = jnp.zeros((), jnp.float32)
+        if use_aug:
+            batch = dict(batch, coord_aug=coord_aug)
+        return _update_from_feats(seg, opts, with_hist, state, ks,
+                                  image_feat, image_feat_pos, image_feat_aug,
+                                  batch)
 
-            if use_pos:
-                code_pos = seg.net.head_code(trainable["head"], image_feat_pos,
-                                             train=True, rng=k_head2)
-                feats_pos = seg.net.signal(image_feat_pos)
-                if cfg.dropout and seg.net.use_dropout:
-                    feats_pos = dropout2d(feats_pos, seg.net.dropout_p, k_feat2)
-                if cfg.use_true_labels:
-                    signal = one_hot_feats(label + 1, seg.n_classes + 1)
-                    signal_pos = one_hot_feats(batch["label_pos"] + 1,
-                                               seg.n_classes + 1)
-                else:
-                    signal, signal_pos = feats, feats_pos
-                salience = batch.get("mask") if cfg.use_salience else None
-                salience_pos = batch.get("mask_pos") if cfg.use_salience else None
-                corr_loss, corr_metrics = _corr_pair_losses(
-                    seg, cfg, k_corr, signal, signal_pos, code, code_pos,
-                    salience, salience_pos, with_hist=with_hist,
-                )
-                loss = loss + corr_loss
-                metrics.update(corr_metrics)
+    return train_step
 
-            if cfg.rec_weight > 0:
-                rec_feats = decoder_apply(trainable["decoder"], code)
-                rec_loss = -jnp.mean(jnp.sum(
-                    l2_normalize(rec_feats) * l2_normalize(feats), axis=-1
-                ))
-                loss = loss + cfg.rec_weight * rec_loss
-                metrics["loss/rec"] = rec_loss
 
-            if use_aug:
-                code_aug = seg.net.head_code(trainable["head"], image_feat_aug,
-                                             train=True, rng=k_head3)
-                hw = code_aug.shape[1:3]
-                coord_small = interpolate(coord_aug, hw, "bilinear",
-                                          align_corners=False)
-                # reference sample() quirk: the dataset stores (y, x) coords and
-                # sample() transposes the grid — the two swaps cancel on square
-                # inputs (train_segmentation.py:189-198, data.py:530-532).
-                resampled = sample_from_coords(code, coord_small)
-                aug_alignment = -jnp.mean(jnp.sum(
-                    l2_normalize(resampled) * l2_normalize(code_aug), axis=-1
-                ))
-                loss = loss + cfg.aug_alignment_weight * aug_alignment
-                metrics["loss/aug_alignment"] = aug_alignment
+def make_cached_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
+    """Train step over a device-resident frozen-backbone feature cache.
 
-            if cfg.crf_weight > 0:
-                crf = jnp.mean(contrastive_crf_loss(
-                    seg.crf_cfg, k_crf,
-                    interpolate(img, 56, "bilinear", align_corners=False),
-                    l2_normalize(
-                        interpolate(code, 56, "bilinear", align_corners=False)
-                    ),
-                ))
-                loss = loss + cfg.crf_weight * crf
-                metrics["loss/crf"] = crf
+    The backbone never trains (reference no-grad region, src/modules.py:85);
+    under a deterministic loader transform every epoch recomputes identical
+    features, so ``cache_backbone_feats=true`` runs the backbone ONCE
+    (train/feat_cache.py) and each step gathers its batch from HBM instead:
 
-            detached_code = jax.lax.stop_gradient(code)
+    Step signature: (cache, state, batch, key) -> (state, metrics) where
+    ``batch`` holds only int32 ``ind`` (+ ``ind_pos``) index vectors — the
+    host->device wire carries ~8 bytes per image instead of ~37 KB. The key
+    split, dropout, coordinate sampling, losses, and optimizer updates are
+    IDENTICAL to :func:`make_train_step` (shared ``_update_from_feats``), so
+    cached and uncached runs are step-for-step equivalent given equal
+    features (tests/test_feat_cache.py asserts it).
 
-            linear_logits = linear_probe_logits(trainable["linear_probe"],
-                                                detached_code)
-            # Fused channel-major upsample+CE (reference
-            # train_segmentation.py:210-218): the naive NHWC chain was ~12 ms
-            # of the step — the ~27-class lane axis pads to 128 on every
-            # (B, res, res, C) pass (ops/probe_ce.py). bf16 upsample traffic
-            # for bf16 trunks; f32 trunks keep exact parity.
-            ce_dtype = (jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
-                        else jnp.float32)
-            linear_loss = upsampled_masked_cross_entropy(
-                linear_logits, label, seg.n_classes, compute_dtype=ce_dtype)
-            loss = loss + linear_loss
-            metrics["loss/linear"] = linear_loss
+    On a >1-device mesh the cache is replicated and the index vectors are
+    batch-sharded: ``jnp.take`` partitions like the batch, so the gathered
+    features feed the shard_map'd Pallas kernels exactly as decoded images
+    would.
+    """
+    cfg = seg.cfg
+    opts = seg.make_optimizers()
+    use_pos = cfg.correspondence_weight > 0
 
-            cluster_loss, _ = cluster_lookup(trainable["cluster_probe"],
-                                             detached_code, alpha=None)
-            loss = loss + cluster_loss
-            metrics["loss/cluster"] = cluster_loss
-            metrics["loss/total"] = loss
-            return loss, metrics
+    def train_step(cache: Dict[str, Any], state: Dict[str, Any],
+                   batch: Dict[str, Any], key: jax.Array):
+        ks = _split_step_keys(key)
+        ind = batch["ind"]
 
-        params = state["params"]
-        trainable = {
-            "head": params["head"],
-            "linear_probe": params["linear_probe"],
-            "cluster_probe": params["cluster_probe"],
-            "decoder": params["decoder"],
+        def take(a, i):
+            return jnp.take(a, i, axis=0)
+
+        image_feat = jax.tree.map(lambda a: take(a, ind), cache["feats"])
+        sub: Dict[str, Any] = {
+            "label": take(cache["label"], ind).astype(jnp.int32)
         }
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(trainable)
-
-        net_group = {"head": params["head"]}
-        net_grads = {"head": grads["head"]}
-        if cfg.rec_weight > 0:
-            net_group["decoder"] = params["decoder"]
-            net_grads["decoder"] = grads["decoder"]
-        net_up, net_opt = opts["net"].update(net_grads, state["opt"]["net"],
-                                             net_group)
-        net_new = optax.apply_updates(net_group, net_up)
-
-        lin_up, lin_opt = opts["linear"].update(
-            grads["linear_probe"], state["opt"]["linear"], params["linear_probe"]
-        )
-        lin_new = optax.apply_updates(params["linear_probe"], lin_up)
-
-        clu_up, clu_opt = opts["cluster"].update(
-            grads["cluster_probe"], state["opt"]["cluster"],
-            params["cluster_probe"]
-        )
-        clu_new = optax.apply_updates(params["cluster_probe"], clu_up)
-
-        new_params = dict(params)
-        new_params["head"] = net_new["head"]
-        if cfg.rec_weight > 0:
-            new_params["decoder"] = net_new["decoder"]
-        new_params["linear_probe"] = lin_new
-        new_params["cluster_probe"] = clu_new
-
-        if getattr(seg.net, "has_bn_state", False):
-            # refresh BatchNorm running statistics (FPN arm; torch BN buffers
-            # are updated on the train-mode forward — here after the optimizer
-            # step, gradient-free)
-            new_params["head"] = seg.net.bn_state_update(new_params["head"],
-                                                         image_feat)
-
-        new_state = {
-            "params": new_params,
-            "opt": {"net": net_opt, "linear": lin_opt, "cluster": clu_opt},
-            "step": state["step"] + 1,
-        }
-        return new_state, metrics
+        image_feat_pos = None
+        if use_pos:
+            ind_pos = batch["ind_pos"]
+            image_feat_pos = jax.tree.map(lambda a: take(a, ind_pos),
+                                          cache["feats"])
+            sub["label_pos"] = take(cache["label"], ind_pos).astype(jnp.int32)
+            if cfg.use_salience:
+                sub["mask"] = take(cache["mask"], ind).astype(jnp.float32)
+                sub["mask_pos"] = take(cache["mask"],
+                                       ind_pos).astype(jnp.float32)
+        return _update_from_feats(seg, opts, with_hist, state, ks,
+                                  image_feat, image_feat_pos, None, sub)
 
     return train_step
 

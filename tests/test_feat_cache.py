@@ -1,0 +1,217 @@
+"""Frozen-backbone feature-cache mode (train/feat_cache.py +
+segmenter.make_cached_train_step): step-for-step equivalence with the image
+pipeline, pair-draw parity with ContrastiveSegDataset, config guards, and
+the 8-device sharded run."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from stego_tpu.config import Config
+from stego_tpu.models.vit import ViTConfig, init_vit_params
+from stego_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from stego_tpu.train.feat_cache import (
+    FeatCacheSampler,
+    build_feat_cache,
+    estimate_cache_gb,
+    validate_feat_cache_cfg,
+)
+from stego_tpu.train.segmenter import (
+    UnsupervisedSegmenter,
+    make_cached_train_step,
+    make_train_step,
+)
+
+TINY_VIT = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                     img_size=16)
+N_ITEMS = 12
+RES = 16
+
+
+def tiny_setup(**overrides):
+    cfg = Config(
+        dataset_name="directory", dir_dataset_name="synthetic", res=RES,
+        dim=6, feature_samples=4, neg_samples=2, batch_size=8,
+        backbone_dtype="float32", crop_type=None, num_neighbors=3,
+        **overrides,
+    )
+    seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=TINY_VIT)
+    backbone = init_vit_params(jr.PRNGKey(0), TINY_VIT)
+    state = seg.init_state(jr.PRNGKey(1))
+    return cfg, seg, backbone, state
+
+
+class _Base:
+    """Deterministic (img, label, mask) tuples, one per index."""
+
+    def __init__(self, n=N_ITEMS):
+        rng = np.random.default_rng(0)
+        self.items = []
+        for _ in range(n):
+            img = rng.normal(size=(RES, RES, 3)).astype(np.float32)
+            label = rng.integers(-1, 3, size=(RES, RES)).astype(np.int64)
+            mask = (label > 0).astype(np.float32)
+            self.items.append((img, label, mask))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+class _FakeContrastive:
+    """The attribute surface build_feat_cache/FeatCacheSampler consume."""
+
+    def __init__(self, seed=0, num_neighbors=3):
+        self.dataset = _Base()
+        self.seed = seed
+        self.epoch = 0
+        self.num_neighbors = num_neighbors
+        rng = np.random.default_rng(1)
+        self.nns = np.stack([
+            np.concatenate([[i], rng.permutation(N_ITEMS)[:num_neighbors]])
+            for i in range(N_ITEMS)
+        ])
+        self.pos_images = True
+        self.pos_labels = True
+
+    def __len__(self):
+        return len(self.dataset)
+
+
+def _image_batch(ds, ind, ind_pos):
+    base = ds.dataset
+
+    def stack(sel, j):
+        return np.stack([base[i][j] for i in sel])
+
+    return {
+        "img": jnp.asarray(stack(ind, 0)),
+        "label": jnp.asarray(stack(ind, 1).astype(np.int32)),
+        "img_pos": jnp.asarray(stack(ind_pos, 0)),
+        "label_pos": jnp.asarray(stack(ind_pos, 1).astype(np.int32)),
+        "mask": jnp.asarray(stack(ind, 2)),
+        "mask_pos": jnp.asarray(stack(ind_pos, 2)),
+    }
+
+
+@pytest.mark.parametrize("use_salience", [False, True])
+def test_cached_step_matches_image_step(use_salience):
+    """Same indices + same key => the cached step reproduces the image step
+    (losses and updated params), because both share _update_from_feats and
+    the identical 8-way key split."""
+    cfg, seg, backbone, state = tiny_setup(use_salience=use_salience)
+    ds = _FakeContrastive()
+    mesh = make_mesh(1)
+    cache = build_feat_cache(seg, backbone, ds, cfg, mesh)
+
+    ind = np.array([3, 0, 7, 5, 11, 2, 9, 4], np.int32)
+    ind_pos = np.array([1, 6, 2, 8, 0, 10, 3, 7], np.int32)
+    key = jr.PRNGKey(42)
+
+    s_img, m_img = jax.jit(make_train_step(seg))(
+        backbone, state, _image_batch(ds, ind, ind_pos), key)
+    s_c, m_c = jax.jit(make_cached_train_step(seg))(
+        cache, state, {"ind": jnp.asarray(ind), "ind_pos": jnp.asarray(ind_pos)},
+        key)
+
+    for k in m_img:
+        np.testing.assert_allclose(
+            np.asarray(m_img[k]), np.asarray(m_c[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        s_img["params"], s_c["params"])
+
+
+def test_cached_step_sharded_matches_single_device(cpu_devices):
+    cfg, seg, backbone, state = tiny_setup()
+    ds = _FakeContrastive()
+    mesh1 = make_mesh(1)
+    cache = build_feat_cache(seg, backbone, ds, cfg, mesh1)
+    batch = {"ind": jnp.arange(8, dtype=jnp.int32),
+             "ind_pos": jnp.asarray([4, 2, 0, 6, 1, 7, 5, 3], jnp.int32)}
+    key = jr.PRNGKey(7)
+
+    step = make_cached_train_step(seg)
+    s1, m1 = jax.jit(step)(cache, state, batch, key)
+
+    mesh = make_mesh()
+    seg8 = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=TINY_VIT,
+                                 mesh=mesh)
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    cache8 = jax.tree.map(lambda a: jax.device_put(a, rs), cache)
+    s8, m8 = jax.jit(make_cached_train_step(seg8))(
+        cache8,
+        jax.tree.map(lambda a: jax.device_put(a, rs), state),
+        jax.tree.map(lambda a: jax.device_put(a, bs), batch),
+        key)
+
+    for k in m1:
+        if k.startswith("hist/"):
+            assert float(np.abs(np.asarray(m1[k]) - np.asarray(m8[k])).sum()) <= 8
+        else:
+            np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m8[k]),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(s1["params"]["head"]["cluster1"]["kernel"]),
+        np.asarray(s8["params"]["head"]["cluster1"]["kernel"]),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_sampler_matches_contrastive_pair_draw():
+    """FeatCacheSampler must reproduce ContrastiveSegDataset's neighbor
+    choice exactly: same (seed, epoch, ind) Generator, same first draw."""
+    ds = _FakeContrastive(seed=5)
+    sampler = FeatCacheSampler(ds)
+    for epoch in (0, 1, 3):
+        sampler.epoch = epoch
+        for ind in range(N_ITEMS):
+            rng = np.random.default_rng((ds.seed, epoch, ind))
+            nn_choice = int(rng.integers(1, ds.num_neighbors + 1))
+            want = int(ds.nns[ind][nn_choice])
+            got = sampler[ind]
+            assert int(got["ind"]) == ind
+            assert int(got["ind_pos"]) == want
+
+
+def test_cfg_guards():
+    for bad in (dict(loader_crop_type="random"),
+                dict(aug_alignment_weight=0.1),
+                dict(crf_weight=0.1),
+                dict(arch="feature-pyramid", model_type="resnet50")):
+        cfg = Config(dataset_name="directory", dir_dataset_name="s", res=RES,
+                     crop_type=None, **bad)
+        with pytest.raises(ValueError):
+            validate_feat_cache_cfg(cfg)
+    # the default-ish config passes
+    cfg, seg, _, _ = tiny_setup()
+    validate_feat_cache_cfg(cfg)
+
+
+def test_cache_size_guard():
+    cfg, seg, backbone, _ = tiny_setup(feat_cache_max_gb=1e-9)
+    ds = _FakeContrastive()
+    assert estimate_cache_gb(cfg, seg, len(ds)) > 1e-9
+    with pytest.raises(ValueError, match="feat_cache_max_gb"):
+        build_feat_cache(seg, backbone, ds, cfg, make_mesh(1))
+
+
+def test_short_final_chunk_padding():
+    """N not divisible by the forward batch: the padded final chunk must not
+    leak padding rows into the cache."""
+    cfg, seg, backbone, _ = tiny_setup()  # batch 8: 12 items -> 8 + 4(pad)
+    ds = _FakeContrastive()
+    mesh = make_mesh(1)
+    cache = build_feat_cache(seg, backbone, ds, cfg, mesh)
+    assert cache["feats"].shape[0] == N_ITEMS
+    assert cache["label"].shape == (N_ITEMS, RES, RES)
+    # last item's features == a direct forward of that image
+    direct = seg.net.backbone_features(
+        backbone, jnp.asarray(ds.dataset[N_ITEMS - 1][0])[None])
+    np.testing.assert_allclose(np.asarray(cache["feats"][-1]),
+                               np.asarray(direct[0]), rtol=1e-5, atol=1e-6)

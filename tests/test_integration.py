@@ -132,3 +132,25 @@ def test_resume_from_checkpoint(data_root, tmp_path):
     mgr = CheckpointManager(ckpt_dir, cfg2, save_top_k=cfg2.save_top_k)
     assert 6 in set(mgr.all_steps())  # continued 4 -> 6, saved at 6
     mgr.close()
+
+
+def test_end_to_end_feat_cache_matches_uncached(data_root, tmp_path):
+    """cache_backbone_feats=true trains the identical trajectory through the
+    full app: same KNN caches, same loader seed/shuffle, same pair draws
+    (FeatCacheSampler mirrors ContrastiveSegDataset's Generator), same step
+    keys — so the final validation metrics must match the uncached run."""
+    cfg = make_cfg(data_root, tmp_path, experiment_name="fc_base",
+                   max_steps=4, val_freq=4, checkpoint_freq=4)
+    precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
+                    vit_cfg=TINY_VIT, res=16, batch_size=8)
+    base_metrics = train(cfg, vit_cfg=TINY_VIT)
+
+    cfg_fc = make_cfg(data_root, tmp_path, experiment_name="fc_cached",
+                      max_steps=4, val_freq=4, checkpoint_freq=4,
+                      cache_backbone_feats=True)
+    fc_metrics = train(cfg_fc, vit_cfg=TINY_VIT)
+
+    assert set(base_metrics) == set(fc_metrics)
+    for k in base_metrics:
+        assert abs(base_metrics[k] - fc_metrics[k]) < 0.5, (
+            k, base_metrics[k], fc_metrics[k])
