@@ -175,8 +175,9 @@ def _device_batch(batch: Dict[str, Any], sharding) -> Dict[str, jnp.ndarray]:
 
 
 def _pad_batch(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
-    """Pad a short final batch to ``size`` with ignore-labeled copies."""
-    n = len(batch["img"])
+    """Pad a short final batch to ``size`` with ignore-labeled copies
+    (ignore-INDEXED in cached-validation index batches)."""
+    n = len(next(iter(batch.values())))
     if n == size:
         return batch
     pad = size - n
@@ -184,15 +185,15 @@ def _pad_batch(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
     for k, v in batch.items():
         v = np.asarray(v)
         reps = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
-        if k.startswith("label"):
-            reps[n:] = -1  # padded pixels are ignored by the conf matrix
+        if k.startswith("label") or k == "ind":
+            reps[n:] = -1  # padded pixels/indices are ignored downstream
         out[k] = reps
     return out
 
 
 def run_validation(seg, val_step, backbone, params, val_loader, mesh,
-                   batch_size: int, figure_prefix: Optional[str] = None
-                   ) -> Dict[str, float]:
+                   batch_size: int, figure_prefix: Optional[str] = None,
+                   val_cache=None, val_base=None) -> Dict[str, float]:
     """Sharded validation epoch: device-side confusion matrices, host-side
     Hungarian (reference validation_step/epoch_end,
     train_segmentation.py:254-283). When ``figure_prefix`` is given, also
@@ -214,20 +215,41 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
         batch = _pad_batch(batch, batch_size)
         from stego_tpu.data.loader import compact_batch
 
-        host = compact_batch({"img": np.asarray(batch["img"]),
-                              "label": np.asarray(batch["label"])})
-        if pc > 1:
-            dev = _global_batch(mesh, host)
+        if val_cache is not None:
+            # cached validation (cache_backbone_feats): index-only batches
+            # against the val_res feature cache — no decode, no backbone
+            host = {"ind": np.asarray(batch["ind"]).astype(np.int32)}
+            if pc > 1:
+                dev = _global_batch(mesh, host)
+            else:
+                dev = {k: jax.device_put(jnp.asarray(v), bs)
+                       for k, v in host.items()}
+            out = val_step(val_cache, params, dev)
         else:
-            dev = {k: jax.device_put(jnp.asarray(v), bs)
-                   for k, v in host.items()}
-        out = val_step(backbone, params, dev)
+            host = compact_batch({"img": np.asarray(batch["img"]),
+                                  "label": np.asarray(batch["label"])})
+            if pc > 1:
+                dev = _global_batch(mesh, host)
+            else:
+                dev = {k: jax.device_put(jnp.asarray(v), bs)
+                       for k, v in host.items()}
+            out = val_step(backbone, params, dev)
         linear_metrics.merge_stats(np.asarray(out["conf_linear"]))
         cluster_metrics.merge_stats(np.asarray(out["conf_cluster"]))
         if panel is None and figure_prefix is not None:
-            n = min(seg.cfg.n_images, len(host["img"]))
+            if val_cache is not None:
+                # decode just the panel images from the base val dataset
+                idxs = [int(i) for i in np.asarray(batch["ind"])
+                        [:seg.cfg.n_images] if int(i) >= 0]
+                items = [val_base[i] for i in idxs]
+                imgs = np.stack([it[0] for it in items])
+                labels = np.stack([it[1] for it in items])
+                n = len(idxs)
+            else:
+                n = min(seg.cfg.n_images, len(host["img"]))
+                imgs, labels = host["img"][:n], host["label"][:n]
             panel = {
-                "img": host["img"][:n], "label": host["label"][:n],
+                "img": imgs, "label": labels,
                 "linear": np.asarray(out["linear_preds"][:n]),
                 "cluster": np.asarray(out["cluster_preds"][:n]),
             }
@@ -311,15 +333,22 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     # Frozen-backbone feature cache: one backbone pass now, index-only
     # batches afterwards (train/feat_cache.py — beyond-reference; the
     # reference recomputes identical DINO features every epoch).
-    feat_cache = None
+    feat_cache = val_cache = None
     if cfg.cache_backbone_feats:
         from stego_tpu.train.feat_cache import build_feat_cache
 
         t_fc = time.time()
         feat_cache = build_feat_cache(seg, backbone, train_dataset, cfg, mesh)
-        fc_gb = sum(a.nbytes for a in feat_cache.values()) / 2**30
-        print(f"feature cache: {len(train_dataset)} items, {fc_gb:.2f} GiB "
-              f"in HBM, built in {time.time() - t_fc:.1f}s")
+        # val epochs re-run the frozen backbone over the SAME deterministic
+        # split every val_freq steps — cache those features too (no masks;
+        # built at val_res)
+        val_cache = build_feat_cache(seg, backbone, val_dataset, cfg, mesh,
+                                     res=cfg.val_res, with_mask=False)
+        fc_gb = sum(a.nbytes for c in (feat_cache, val_cache)
+                    for a in c.values()) / 2**30
+        print(f"feature cache: {len(train_dataset)} train + "
+              f"{len(val_dataset)} val items, {fc_gb:.2f} GiB in HBM, "
+              f"built in {time.time() - t_fc:.1f}s")
 
     def _jit_step(with_hist: bool):
         if feat_cache is not None:
@@ -349,7 +378,12 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     # cd tensors on device. Measured on v5e: see CLAUDE.md perf notes.
     train_step = _jit_step(False)
     train_step_hist = _jit_step(True) if cfg.hist_freq else train_step
-    val_step = jax.jit(make_val_step(seg))
+    if val_cache is not None:
+        from stego_tpu.train.segmenter import make_cached_val_step
+
+        val_step = jax.jit(make_cached_val_step(seg))
+    else:
+        val_step = jax.jit(make_val_step(seg))
 
     # per-host loaders: each process decodes its stripe of the global batch
     val_bs = cfg.val_batch_size or cfg.batch_size
@@ -365,12 +399,14 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         from stego_tpu.train.feat_cache import FeatCacheSampler
 
         train_items = FeatCacheSampler(train_dataset)
+        val_items = FeatCacheSampler(val_dataset)  # index-only (no pos)
     else:
         train_items = train_dataset
+        val_items = val_dataset
     train_loader = DataLoader(train_items, cfg.batch_size // pc,
                               shuffle=True, seed=cfg.seed,
                               num_shards=pc, shard_index=pi)
-    val_loader = DataLoader(val_dataset, val_bs // pc, shuffle=False,
+    val_loader = DataLoader(val_items, val_bs // pc, shuffle=False,
                             drop_last=False, num_shards=pc, shard_index=pi)
 
     mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k) \
@@ -500,6 +536,7 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                     val_bs,
                     figure_prefix=(join(log_dir, f"val_{step_idx + 1}_")
                                    if primary else None),
+                    val_cache=val_cache, val_base=val_dataset.dataset,
                 )
                 logger.log_scalars(step_idx + 1, metrics_out)
                 print(f"step {step_idx + 1}: " + ", ".join(

@@ -56,19 +56,24 @@ def validate_feat_cache_cfg(cfg: Config) -> None:
             "loss consumes per-step images")
 
 
-def estimate_cache_gb(cfg: Config, seg, n_items: int) -> float:
+def estimate_cache_gb(cfg: Config, seg, n_items: int,
+                      res: int | None = None, with_mask: bool | None = None
+                      ) -> float:
     """Upfront HBM estimate (feats + labels [+ masks]), in GiB."""
-    hp = cfg.res // seg.vit_cfg.patch_size
+    res = res or cfg.res
+    hp = res // seg.vit_cfg.patch_size
     feat_itemsize = 2 if cfg.backbone_dtype == "bfloat16" else 4
     per_item = hp * hp * seg.net.n_feats * feat_itemsize
-    per_item += cfg.res * cfg.res * 2  # int16 labels
-    if cfg.use_salience:
-        per_item += cfg.res * cfg.res * 2  # float16 masks
+    per_item += res * res * 2  # int16 labels
+    if cfg.use_salience if with_mask is None else with_mask:
+        per_item += res * res * 2  # float16 masks
     return n_items * per_item / 2**30
 
 
 def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
-                     mesh, batch_size: int | None = None) -> Dict[str, Any]:
+                     mesh, batch_size: int | None = None,
+                     res: int | None = None,
+                     with_mask: bool | None = None) -> Dict[str, Any]:
     """One backbone pass over the (deterministic) base dataset.
 
     Returns a dict of replicated device arrays indexed by base-dataset index:
@@ -76,11 +81,15 @@ def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
     int16, and ``mask`` (N, res, res) float16 when ``use_salience``. The
     replication means ``jnp.take`` with batch-sharded indices needs no
     collectives on any mesh.
+
+    ``res``/``with_mask`` override the train-split defaults — the validation
+    cache is built at ``cfg.val_res`` and never needs salience masks.
     """
     validate_feat_cache_cfg(cfg)
     base = contrastive_ds.dataset
     n = len(base)
-    est = estimate_cache_gb(cfg, seg, n)
+    want_mask = cfg.use_salience if with_mask is None else with_mask
+    est = estimate_cache_gb(cfg, seg, n, res=res, with_mask=want_mask)
     if est > cfg.feat_cache_max_gb:
         raise ValueError(
             f"feature cache for {n} items would need ~{est:.1f} GiB "
@@ -100,7 +109,7 @@ def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
         items = [base[i] for i in idxs]
         imgs = np.stack([it[0] for it in items])
         labels.append(np.stack([it[1] for it in items]).astype(np.int16))
-        if cfg.use_salience:
+        if want_mask:
             masks.append(np.stack([it[2] for it in items]).astype(np.float16))
         pad = b - len(items)
         if pad:  # keep ONE compiled shape for the final short chunk
@@ -114,7 +123,7 @@ def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
         "feats": jax.device_put(jnp.concatenate(feat_parts, axis=0), rs),
         "label": jax.device_put(jnp.asarray(np.concatenate(labels)), rs),
     }
-    if cfg.use_salience:
+    if want_mask:
         cache["mask"] = jax.device_put(jnp.asarray(np.concatenate(masks)), rs)
     return cache
 

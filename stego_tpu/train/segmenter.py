@@ -515,6 +515,58 @@ def make_cached_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
     return train_step
 
 
+def make_cached_val_step(seg: UnsupervisedSegmenter):
+    """Validation step over a feature cache built at ``val_res``.
+
+    Signature: (cache, params, batch) -> same outputs as
+    :func:`make_val_step`; ``batch`` holds only int32 ``ind``. Training-time
+    validation re-runs the frozen backbone over the SAME deterministic val
+    split every ``val_freq`` steps — under ``cache_backbone_feats`` that
+    forward is precomputed once and each val epoch is head+probes only.
+
+    Padded entries (short final batch) arrive as ``ind = -1``: their labels
+    are forced to the ignore value so the confusion matrices never count a
+    duplicated image.
+    """
+    nc = seg.n_classes
+    extra = seg.cfg.extra_clusters
+
+    def val_step(cache: Dict[str, Any], params: Params,
+                 batch: Dict[str, Any]):
+        from stego_tpu.ops.probe_ce import upsampled_argmax
+
+        ind = batch["ind"]
+        safe = jnp.maximum(ind, 0)
+        image_feat = jax.tree.map(lambda a: jnp.take(a, safe, axis=0),
+                                  cache["feats"])
+        label = jnp.take(cache["label"], safe, axis=0).astype(jnp.int32)
+        label = jnp.where((ind >= 0)[:, None, None], label, -1)
+        code = seg.net.head_code(params["head"], image_feat, train=False)
+
+        hw = label.shape[1:3]
+        linear_preds = upsampled_argmax(
+            linear_probe_logits(params["linear_probe"], code), hw)
+        clu_ips = code @ l2_normalize(params["cluster_probe"]["clusters"],
+                                      axis=1).T
+        cluster_preds = upsampled_argmax(clu_ips, hw)
+
+        conf_linear = update_conf_matrix(
+            jnp.zeros((nc, nc), jnp.int32), linear_preds, label, nc, 0
+        )
+        conf_cluster = update_conf_matrix(
+            jnp.zeros((nc + extra, nc), jnp.int32), cluster_preds, label, nc,
+            extra,
+        )
+        return {
+            "conf_linear": conf_linear,
+            "conf_cluster": conf_cluster,
+            "linear_preds": linear_preds,
+            "cluster_preds": cluster_preds,
+        }
+
+    return val_step
+
+
 def make_val_step(seg: UnsupervisedSegmenter):
     """Validation step (reference validation_step,
     train_segmentation.py:254-269): code upsampled to label resolution, probe

@@ -215,3 +215,47 @@ def test_short_final_chunk_padding():
         backbone, jnp.asarray(ds.dataset[N_ITEMS - 1][0])[None])
     np.testing.assert_allclose(np.asarray(cache["feats"][-1]),
                                np.asarray(direct[0]), rtol=1e-5, atol=1e-6)
+
+
+def test_cached_val_step_matches_image_val_step():
+    from stego_tpu.train.segmenter import make_cached_val_step, make_val_step
+
+    cfg, seg, backbone, state = tiny_setup()
+    ds = _FakeContrastive()
+    cache = build_feat_cache(seg, backbone, ds, cfg, make_mesh(1),
+                             with_mask=False)
+    ind = np.array([0, 3, 5, 7, 2, 9, 11, 1], np.int32)
+    base = ds.dataset
+    img_batch = {
+        "img": jnp.asarray(np.stack([base[i][0] for i in ind])),
+        "label": jnp.asarray(np.stack([base[i][1] for i in ind])
+                             .astype(np.int32)),
+    }
+    out_i = jax.jit(make_val_step(seg))(backbone, state["params"], img_batch)
+    out_c = jax.jit(make_cached_val_step(seg))(cache, state["params"],
+                                               {"ind": jnp.asarray(ind)})
+    np.testing.assert_array_equal(np.asarray(out_i["conf_linear"]),
+                                  np.asarray(out_c["conf_linear"]))
+    np.testing.assert_array_equal(np.asarray(out_i["conf_cluster"]),
+                                  np.asarray(out_c["conf_cluster"]))
+    np.testing.assert_array_equal(np.asarray(out_i["linear_preds"]),
+                                  np.asarray(out_c["linear_preds"]))
+
+
+def test_cached_val_step_ignores_padding():
+    """ind = -1 (short-final-batch padding) must contribute zero pixels to
+    the confusion matrices."""
+    from stego_tpu.train.segmenter import make_cached_val_step
+
+    cfg, seg, backbone, state = tiny_setup()
+    ds = _FakeContrastive()
+    cache = build_feat_cache(seg, backbone, ds, cfg, make_mesh(1),
+                             with_mask=False)
+    step = jax.jit(make_cached_val_step(seg))
+    full = step(cache, state["params"],
+                {"ind": jnp.asarray([4, 6, 4, 6, 4, 6, 4, 6], jnp.int32)})
+    padded = step(cache, state["params"],
+                  {"ind": jnp.asarray([4, 6, -1, -1, -1, -1, -1, -1],
+                                      jnp.int32)})
+    assert int(np.asarray(padded["conf_linear"]).sum()) * 4 == \
+        int(np.asarray(full["conf_linear"]).sum())
