@@ -315,6 +315,13 @@ def prep_args(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
 
 def _coerce(v: str) -> Any:
+    if v.startswith("[") and v.endswith("]"):
+        # Hydra/YAML-style inline list a reference user types on the CLI:
+        # model_paths='[a, b]' (quotes around elements optional)
+        body = v[1:-1].strip()
+        if not body:
+            return []
+        return [_coerce(e.strip().strip("'\"")) for e in body.split(",")]
     if v in ("~", "null", "None"):
         return None
     if v in ("true", "True"):
