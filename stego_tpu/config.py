@@ -26,11 +26,13 @@ class Config:
     pytorch_data_dir: str = "./data"
     experiment_name: str = "exp1"
     log_dir: str = "stego"
-    # azureml_logging / submitting_to_aml / num_workers / use_ddp are accepted
-    # for reference-CLI key parity but are inert here: there is no AzureML
-    # integration, the single-core host loader has no worker pool, and
-    # device parallelism comes from the sharded-jit mesh rather than a DDP
-    # flag (parallel/mesh.py).
+    # azureml_logging / submitting_to_aml / use_ddp are accepted for
+    # reference-CLI key parity but are inert here: there is no AzureML
+    # integration, and device parallelism comes from the sharded-jit mesh
+    # rather than a DDP flag (parallel/mesh.py). num_workers IS live: it sets
+    # the loader's decode thread count (capped at host cores —
+    # data/loader.py:effective_threads; the native decoder releases the GIL
+    # so threads scale like the reference's worker processes).
     azureml_logging: bool = False
     submitting_to_aml: bool = False
     full_name: str = ""

@@ -100,16 +100,20 @@ def materialize_crops(
 class _IdentityTransform:
     """Keep original resolution; just normalize (reference passes T.ToTensor())."""
 
-    def __call__(self, img, rng=None):
+    def __call__(self, img, rng=None, force_rgb=False):
         from stego_tpu.data.transforms import normalize
 
+        if isinstance(img, str):
+            img = Image.open(img)
         if img.mode != "RGB":
             img = img.convert("RGB")
         return normalize(np.asarray(img).astype(np.float32) / 255.0)
 
 
 class _IdentityLabelTransform:
-    def __call__(self, img, rng=None):
+    def __call__(self, img, rng=None, force_rgb=False):
+        if isinstance(img, str):
+            img = Image.open(img)
         arr = np.asarray(img).astype(np.int64)
         if arr.ndim == 3:
             arr = arr[..., 0]

@@ -54,13 +54,17 @@ def _apply_mapping(label: np.ndarray, mapping: Dict[int, int]) -> np.ndarray:
 
 
 def _paired_transform(img, label, transform: Transform,
-                      target_transform: Transform, rng: np.random.Generator):
+                      target_transform: Transform, rng: np.random.Generator,
+                      force_rgb: bool = False):
     """Apply img/label transforms with ONE shared random state so random crops
-    align (replaces the reference's seed-reset coupling, data.py:102-110)."""
+    align (replaces the reference's seed-reset coupling, data.py:102-110).
+    ``img``/``label`` may be PIL Images or file paths (paths take the native
+    fused-decode fast path; ``force_rgb`` replaces the reference's
+    ``Image.open(...).convert("RGB")``)."""
     state = rng.bit_generator.state
     r1 = np.random.default_rng()
     r1.bit_generator.state = state
-    img_t = transform(img, r1)
+    img_t = transform(img, r1, force_rgb=force_rgb)
     r2 = np.random.default_rng()
     r2.bit_generator.state = state
     label_t = target_transform(label, r2) if label is not None else None
@@ -94,9 +98,9 @@ class DirectoryDataset:
 
     def __getitem__(self, index):
         rng = np.random.default_rng((self.seed, index))
-        img = Image.open(join(self.img_dir, self.img_files[index]))
+        img = join(self.img_dir, self.img_files[index])
         label_img = (
-            Image.open(join(self.label_dir, self.label_files[index]))
+            join(self.label_dir, self.label_files[index])
             if self.label_files is not None else None
         )
         img_t, label_t = _paired_transform(
@@ -261,10 +265,9 @@ class Coco:
 
     def __getitem__(self, index):
         rng = np.random.default_rng((self.seed, index))
-        img = Image.open(self.image_files[index]).convert("RGB")
-        label_img = Image.open(self.label_files[index])
-        img_t, label = _paired_transform(img, label_img, self.transform,
-                                         self.label_transform, rng)
+        img_t, label = _paired_transform(
+            self.image_files[index], self.label_files[index], self.transform,
+            self.label_transform, rng, force_rgb=True)
         label[label == 255] = -1
         coarse_label = _apply_mapping(label, COCO_FINE_TO_COARSE)
         coarse_label[label == -1] = -1
@@ -316,10 +319,9 @@ class CityscapesSeg:
     def __getitem__(self, index):
         rng = np.random.default_rng((self.seed, index))
         img_path, label_path = self.pairs[index]
-        img = Image.open(img_path).convert("RGB")
-        label_img = Image.open(label_path)
-        img_t, label = _paired_transform(img, label_img, self.transform,
-                                         self.target_transform, rng)
+        img_t, label = _paired_transform(img_path, label_path, self.transform,
+                                         self.target_transform, rng,
+                                         force_rgb=True)
         label = label - self.first_nonvoid
         label[label < 0] = -1
         mask = (label == -1).astype(np.float32)
@@ -347,10 +349,10 @@ class CroppedDataset:
 
     def __getitem__(self, index):
         rng = np.random.default_rng((self.seed, index))
-        img = Image.open(join(self.img_dir, f"{index}.jpg")).convert("RGB")
-        label_img = Image.open(join(self.label_dir, f"{index}.png"))
-        img_t, label = _paired_transform(img, label_img, self.transform,
-                                         self.target_transform, rng)
+        img_t, label = _paired_transform(
+            join(self.img_dir, f"{index}.jpg"),
+            join(self.label_dir, f"{index}.png"),
+            self.transform, self.target_transform, rng, force_rgb=True)
         label = label - 1
         mask = (label == -1).astype(np.float32)
         return img_t, label, mask
@@ -371,5 +373,5 @@ class UnlabeledImageFolder:
 
     def __getitem__(self, index):
         rng = np.random.default_rng((self.seed, index))
-        img = Image.open(join(self.root, self.images[index])).convert("RGB")
-        return self.transform(img, rng), self.images[index]
+        path = join(self.root, self.images[index])
+        return self.transform(path, rng, force_rgb=True), self.images[index]

@@ -16,6 +16,15 @@ from typing import Any, Dict, Iterator
 import numpy as np
 
 
+def effective_threads(num_workers: int) -> int:
+    """Map the reference's ``num_workers`` config to a loader thread count:
+    capped at the host's cores (its default of 24 would oversubscribe small
+    hosts; threads beyond cores only add GIL contention)."""
+    import os
+
+    return max(0, min(int(num_workers), os.cpu_count() or 1))
+
+
 def collate(items) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for k in items[0]:
@@ -38,11 +47,18 @@ class DataLoader:
         prefetch: int = 2,
         num_shards: int = 1,
         shard_index: int = 0,
+        num_threads: int = 0,
     ):
         """num_shards/shard_index: multi-host data sharding — every host
         shuffles the SAME global permutation (seeded identically) then takes
         its equal-length stripe, so global batches are disjoint and all hosts
-        step the same number of batches."""
+        step the same number of batches.
+
+        num_threads > 1: fetch the items of each batch on a thread pool (the
+        analogue of the reference's DataLoader num_workers, minus the process
+        fork). Decode via the native fast path releases the GIL, so threads
+        scale with host cores; determinism is unaffected because every item's
+        randomness comes from a per-(seed, index) Generator, not call order."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,8 +67,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.num_threads = num_threads
         self.epoch = 0
         self._skip = 0
+        self._pool = None
 
     def _shard_len(self) -> int:
         return len(self.dataset) // self.num_shards if self.num_shards > 1 \
@@ -90,6 +108,17 @@ class DataLoader:
         self.epoch = n_batches // nb
         self._skip = n_batches % nb
 
+    def _fetch(self, chunk) -> list:
+        if self.num_threads > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(self.num_threads)
+            return list(self._pool.map(
+                self.dataset.__getitem__, (int(i) for i in chunk)
+            ))
+        return [self.dataset[int(i)] for i in chunk]
+
     def _iter_batches(self) -> Iterator[Dict[str, Any]]:
         idx = self._indices()
         nb = len(self)
@@ -98,7 +127,7 @@ class DataLoader:
             chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
             if len(chunk) == 0:
                 return
-            yield collate([self.dataset[int(i)] for i in chunk])
+            yield collate(self._fetch(chunk))
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if hasattr(self.dataset, "epoch"):

@@ -96,14 +96,34 @@ def _random_crop(arr: np.ndarray, res: int, fill, rng: np.random.Generator
 
 @dataclass
 class Transform:
-    """get_transform parity (src/utils.py:165-183)."""
+    """get_transform parity (src/utils.py:165-183).
+
+    Accepts a PIL Image or a file *path*. Paths route through the native
+    fused decoder (data/native_io.py — decode only the scanlines the NEAREST
+    resize keeps, fused crop+normalize, GIL-free) and fall back to the PIL
+    pipeline below for anything the decoder doesn't handle; both paths
+    produce bit-identical arrays. ``force_rgb`` mirrors the dataset-level
+    ``Image.open(...).convert("RGB")`` of the reference (data.py:264 etc.).
+    """
 
     res: int
     is_label: bool
     crop_type: Optional[str]  # "center" | "random" | None
 
-    def __call__(self, img: Image.Image,
-                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    def __call__(self, img: Union[Image.Image, str],
+                 rng: Optional[np.random.Generator] = None,
+                 force_rgb: bool = False) -> np.ndarray:
+        if isinstance(img, str):
+            from stego_tpu.data.native_io import decode_transform_path
+
+            arr = decode_transform_path(
+                img, self.res, self.crop_type, self.is_label, rng, force_rgb
+            )
+            if arr is not None:
+                return arr
+            img = Image.open(img)
+        if force_rgb and img.mode != "RGB":
+            img = img.convert("RGB")
         size: Union[int, Tuple[int, int]] = (
             (self.res, self.res) if self.crop_type is None else self.res
         )

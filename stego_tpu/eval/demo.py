@@ -18,7 +18,7 @@ from PIL import Image
 
 from stego_tpu.config import Config
 from stego_tpu.data.datasets import UnlabeledImageFolder
-from stego_tpu.data.loader import DataLoader
+from stego_tpu.data.loader import DataLoader, effective_threads
 from stego_tpu.data.transforms import get_transform
 from stego_tpu.eval.evaluate import load_model_for_eval, make_eval_step
 from stego_tpu.models.vit import ViTConfig
@@ -52,6 +52,7 @@ def demo(cfg: Config, model_path: str, image_dir: str, result_dir: str,
         _DictView(),
         batch_size=min(cfg.batch_size * 2, max(1, len(dataset))),
         shuffle=False, drop_last=False,
+        num_threads=effective_threads(cfg.num_workers),
     )
     eval_step = jax.jit(make_eval_step(seg, run_crf=cfg.run_crf))
 

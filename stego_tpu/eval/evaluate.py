@@ -20,7 +20,7 @@ import numpy as np
 from stego_tpu.config import Config
 from stego_tpu.data.colormaps import colormap_for_dataset
 from stego_tpu.data.contrastive import ContrastiveSegDataset
-from stego_tpu.data.loader import DataLoader
+from stego_tpu.data.loader import DataLoader, effective_threads
 from stego_tpu.data.transforms import channel_stats, get_transform
 from stego_tpu.models.probes import cluster_lookup, linear_probe_logits
 from stego_tpu.models.vit import ViTConfig
@@ -213,7 +213,8 @@ def evaluate(
     # (eval_segmentation.py:94-97).
     pc, pi = jax.process_count(), jax.process_index()
     loader = DataLoader(val_dataset, batch_size // pc, shuffle=False,
-                        drop_last=False, num_shards=pc, shard_index=pi)
+                        drop_last=False, num_shards=pc, shard_index=pi,
+                        num_threads=effective_threads(eval_cfg.num_workers))
 
     exact_crf = eval_cfg.run_crf and eval_cfg.crf_backend == "exact"
     if exact_crf and pc > 1:

@@ -1,9 +1,15 @@
-"""Native (C++) kernels, loaded via ctypes.
+"""Native (C++) components, loaded via ctypes.
 
-Currently: the permutohedral-lattice Gaussian filter backing the exact dense-
-CRF backend (the reference's only native dependency was pydensecrf; this is
-our from-scratch equivalent). The shared library builds on first use with a
-single g++ invocation — no build system required.
+* ``permutohedral.cpp`` — the permutohedral-lattice Gaussian filter backing
+  the exact dense-CRF backend (the reference's only native dependency was
+  pydensecrf; this is our from-scratch equivalent).
+* ``imageio.cpp`` — fused decode+NEAREST-resize+crop(+normalize) for the host
+  input pipeline (the reference leans on torch DataLoader's native workers;
+  see the file header for the design).
+
+Shared libraries build on first use with a single g++ invocation — no build
+system required. ctypes calls release the GIL, so the image decoder scales
+across loader threads.
 """
 
 from __future__ import annotations
@@ -19,8 +25,11 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "permutohedral.cpp")
 _LIB_PATH = os.path.join(_HERE, "_permutohedral.so")
+_IMG_SRC = os.path.join(_HERE, "imageio.cpp")
+_IMG_LIB_PATH = os.path.join(_HERE, "_imageio.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
+_img_lib = None  # CDLL | None; False = build failed, don't retry
 
 
 def _build() -> None:
@@ -46,6 +55,42 @@ def load_library() -> ctypes.CDLL:
             ctypes.c_int,
         ]
         _lib = lib
+        return lib
+
+
+def load_imageio_library():
+    """The image decoder's CDLL, or None when it can't build (missing
+    libjpeg/libpng dev files) — callers fall back to the PIL path."""
+    global _img_lib
+    with _lock:
+        if _img_lib is not None:
+            return _img_lib or None
+        if not os.path.exists(_IMG_LIB_PATH) or (
+            os.path.getmtime(_IMG_LIB_PATH) < os.path.getmtime(_IMG_SRC)
+        ):
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", _IMG_SRC, "-o", _IMG_LIB_PATH,
+                   "-ljpeg", "-lpng"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except (subprocess.CalledProcessError, OSError):
+                _img_lib = False
+                return None
+        lib = ctypes.CDLL(_IMG_LIB_PATH)
+        lib.stego_decode_transform.restype = ctypes.c_int
+        lib.stego_decode_transform.argtypes = [
+            ctypes.c_char_p,                 # path
+            ctypes.c_int, ctypes.c_int,      # exp_w, exp_h
+            ctypes.c_int, ctypes.c_int,      # resized_h, resized_w
+            ctypes.c_int, ctypes.c_int,      # top, left
+            ctypes.c_int, ctypes.c_int,      # out_h, out_w
+            ctypes.c_int, ctypes.c_int,      # mode, normalize
+            ctypes.POINTER(ctypes.c_float),  # mean
+            ctypes.POINTER(ctypes.c_float),  # stdv
+            ctypes.c_int,                    # out_c
+            ctypes.c_void_p,                 # out
+        ]
+        _img_lib = lib
         return lib
 
 

@@ -19,7 +19,8 @@ import numpy as np
 
 from stego_tpu.config import Config
 from stego_tpu.data.contrastive import ContrastiveSegDataset
-from stego_tpu.data.loader import DataLoader, infinite_batches
+from stego_tpu.data.loader import (DataLoader, effective_threads,
+                                   infinite_batches)
 from stego_tpu.data.transforms import get_transform
 from stego_tpu.models.vit import ViTConfig, init_vit_params
 from stego_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
@@ -403,11 +404,14 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     else:
         train_items = train_dataset
         val_items = val_dataset
+    nthreads = effective_threads(cfg.num_workers)
     train_loader = DataLoader(train_items, cfg.batch_size // pc,
                               shuffle=True, seed=cfg.seed,
-                              num_shards=pc, shard_index=pi)
+                              num_shards=pc, shard_index=pi,
+                              num_threads=nthreads)
     val_loader = DataLoader(val_items, val_bs // pc, shuffle=False,
-                            drop_last=False, num_shards=pc, shard_index=pi)
+                            drop_last=False, num_shards=pc, shard_index=pi,
+                            num_threads=nthreads)
 
     mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k) \
         if primary else None

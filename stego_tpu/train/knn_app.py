@@ -15,7 +15,7 @@ import jax
 
 from stego_tpu.config import Config
 from stego_tpu.data.contrastive import ContrastiveSegDataset, knn_cache_file
-from stego_tpu.data.loader import DataLoader
+from stego_tpu.data.loader import DataLoader, effective_threads
 from stego_tpu.data.transforms import get_transform
 from stego_tpu.models.featurizer import DinoFeaturizer
 from stego_tpu.models.vit import ViTConfig
@@ -97,7 +97,9 @@ def precompute_knns(
                 bs = min(batch_size, len(dataset))
                 d = mesh.devices.size
                 bs = max(d, (bs // d) * d)
-                loader = DataLoader(dataset, bs, shuffle=False, drop_last=False)
+                loader = DataLoader(
+                    dataset, bs, shuffle=False, drop_last=False,
+                    num_threads=effective_threads(cfg.num_workers))
 
                 # pad the final short batch inside embed by chunking on host
                 def padded_loader():
