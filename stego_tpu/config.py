@@ -171,6 +171,12 @@ class Config:
     # decode ~46 imgs/s vs ~300 consumed by the chip). Only valid when the
     # base transform is deterministic per index (loader_crop_type != random).
     cache_dataset: bool = False
+    # allow DCT-scaled JPEG decode in the native loader's TRAIN transform:
+    # decode at the largest 1/2^k scale that still covers the resize target
+    # (~2x faster on large downscales). Pixel values are no longer
+    # PIL-bit-identical (the IDCT's area downscale replaces part of the
+    # NEAREST subsample); labels and eval paths always decode exactly.
+    fast_decode: bool = False
     # persist decoded+transformed items as uint8 .npz under this directory
     # (survives process restarts: the crop/knn/train/eval stages otherwise
     # re-decode everything; see data/loader.py:DiskCachedDataset). Same

@@ -65,12 +65,17 @@ def decode_transform_path(
     is_label: bool,
     rng: Optional[np.random.Generator],
     force_rgb: bool,
+    fast: bool = False,
 ) -> Optional[np.ndarray]:
     """Run the fused native pipeline for one file, or None to use PIL.
 
     Output matches the PIL path bit-for-bit: float32 HWC ImageNet-normalized
     images (RGB, or RGBA when the source carries alpha and ``force_rgb`` is
-    off) / int64 HW labels.
+    off) / int64 HW labels. ``fast`` (config ``fast_decode``) additionally
+    lets JPEG images decode at a reduced DCT scale that still covers the
+    resize target — ~2x faster on large downscales, pixel values no longer
+    PIL-identical (the IDCT's area downscale replaces part of the NEAREST
+    subsample; arguably higher-quality, but it is a documented deviation).
     """
     lib = _lib()
     if lib is None:
@@ -128,7 +133,8 @@ def decode_transform_path(
     fp = ctypes.POINTER(ctypes.c_float)
     ret = lib.stego_decode_transform(
         path.encode(), w, h, rh, rw, top, left, oh, ow, cmode,
-        0 if is_label else 1, mean.ctypes.data_as(fp), std.ctypes.data_as(fp),
+        0 if is_label else 1, 1 if (fast and not is_label) else 0,
+        mean.ctypes.data_as(fp), std.ctypes.data_as(fp),
         out_c, out.ctypes.data_as(ctypes.c_void_p),
     )
     if ret != 0:

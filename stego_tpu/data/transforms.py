@@ -109,6 +109,9 @@ class Transform:
     res: int
     is_label: bool
     crop_type: Optional[str]  # "center" | "random" | None
+    # fast_decode=True (config key): allow DCT-scaled JPEG decode in the
+    # native path — faster, not PIL-bit-identical (never applies to labels).
+    fast_decode: bool = False
 
     def __call__(self, img: Union[Image.Image, str],
                  rng: Optional[np.random.Generator] = None,
@@ -117,7 +120,8 @@ class Transform:
             from stego_tpu.data.native_io import decode_transform_path
 
             arr = decode_transform_path(
-                img, self.res, self.crop_type, self.is_label, rng, force_rgb
+                img, self.res, self.crop_type, self.is_label, rng, force_rgb,
+                fast=self.fast_decode,
             )
             if arr is not None:
                 return arr
@@ -150,8 +154,10 @@ class Transform:
         return arr
 
 
-def get_transform(res: int, is_label: bool, crop_type: Optional[str]) -> Transform:
-    return Transform(res=res, is_label=is_label, crop_type=crop_type)
+def get_transform(res: int, is_label: bool, crop_type: Optional[str],
+                  fast_decode: bool = False) -> Transform:
+    return Transform(res=res, is_label=is_label, crop_type=crop_type,
+                     fast_decode=fast_decode and not is_label)
 
 
 # ----------------------------------------------------------------------

@@ -85,6 +85,7 @@ def load_imageio_library():
             ctypes.c_int, ctypes.c_int,      # top, left
             ctypes.c_int, ctypes.c_int,      # out_h, out_w
             ctypes.c_int, ctypes.c_int,      # mode, normalize
+            ctypes.c_int,                    # fast (DCT-scaled jpeg decode)
             ctypes.POINTER(ctypes.c_float),  # mean
             ctypes.POINTER(ctypes.c_float),  # stdv
             ctypes.c_int,                    # out_c

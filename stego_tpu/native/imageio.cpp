@@ -131,14 +131,19 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-int decode_jpeg(FILE* f, int exp_w, int exp_h, const RowPlan& plan, int mode,
-                int normalize, const float* mean, const float* stdv, int out_c,
-                unsigned char* out, size_t row_bytes) {
+struct Geometry {
+  int resized_h, resized_w, top, left, out_h, out_w;
+};
+
+int decode_jpeg(FILE* f, int exp_w, int exp_h, const Geometry& g, int mode,
+                int normalize, int fast, const float* mean, const float* stdv,
+                int out_c, unsigned char* out, size_t row_bytes) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   std::vector<unsigned char> rowbuf;
+  RowPlan plan;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     return E_DECODE;
@@ -150,15 +155,37 @@ int decode_jpeg(FILE* f, int exp_w, int exp_h, const RowPlan& plan, int mode,
     jpeg_destroy_decompress(&cinfo);
     return E_COLORSPACE;
   }
+  if (static_cast<int>(cinfo.image_width) != exp_w ||
+      static_cast<int>(cinfo.image_height) != exp_h) {
+    jpeg_destroy_decompress(&cinfo);
+    return E_DIMS;
+  }
   const bool gray_label =
       (mode == MODE_LABEL && cinfo.jpeg_color_space == JCS_GRAYSCALE);
   cinfo.out_color_space = gray_label ? JCS_GRAYSCALE : JCS_RGB;
+  if (fast && mode != MODE_LABEL) {
+    // Opt-in non-parity mode: decode at the largest DCT scale 1/d whose
+    // output still covers the resize target, then NEAREST from that. The
+    // IDCT does the downscale nearly for free (quality >= NEAREST-from-full;
+    // pixels differ from PIL, hence the config gate).
+    for (int d = 8; d >= 2; d /= 2) {
+      // libjpeg computes scaled dims as ceil(dim * num / denom)
+      long sw = (static_cast<long>(exp_w) + d - 1) / d;
+      long sh = (static_cast<long>(exp_h) + d - 1) / d;
+      if (sw >= g.resized_w && sh >= g.resized_h) {
+        cinfo.scale_num = 1;
+        cinfo.scale_denom = d;
+        break;
+      }
+    }
+  }
   jpeg_start_decompress(&cinfo);
-  if (static_cast<int>(cinfo.output_width) != exp_w ||
-      static_cast<int>(cinfo.output_height) != exp_h) {
+  if (!make_plan(static_cast<int>(cinfo.output_height),
+                 static_cast<int>(cinfo.output_width), g.resized_h,
+                 g.resized_w, g.top, g.left, g.out_h, g.out_w, &plan)) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
-    return E_DIMS;
+    return E_ARGS;
   }
   const int src_c = cinfo.output_components;  // 1 (gray label) or 3
   rowbuf.resize(static_cast<size_t>(src_c) * cinfo.output_width);
@@ -188,7 +215,7 @@ int decode_jpeg(FILE* f, int exp_w, int exp_h, const RowPlan& plan, int mode,
 
 // ------------------------------- PNG ----------------------------------------
 
-int decode_png(FILE* f, int exp_w, int exp_h, const RowPlan& plan, int mode,
+int decode_png(FILE* f, int exp_w, int exp_h, const Geometry& g, int mode,
                int normalize, const float* mean, const float* stdv, int out_c,
                unsigned char* out, size_t row_bytes) {
   png_structp png =
@@ -222,6 +249,12 @@ int decode_png(FILE* f, int exp_w, int exp_h, const RowPlan& plan, int mode,
   if (w != exp_w || h != exp_h) {
     png_destroy_read_struct(&png, &info, nullptr);
     return E_DIMS;
+  }
+  RowPlan plan;
+  if (!make_plan(h, w, g.resized_h, g.resized_w, g.top, g.left, g.out_h,
+                 g.out_w, &plan)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return E_ARGS;
   }
   if (mode == MODE_LABEL) {
     // Palette labels stay raw indices (PIL np.asarray on mode-P semantics);
@@ -287,28 +320,27 @@ extern "C" {
 // exp_w/exp_h: dimensions the caller read from the header; mismatch -> E_DIMS.
 // Returns 0 on success, a negative code when the caller should fall back to
 // the PIL path.
+// fast != 0 additionally allows DCT-scaled JPEG decode (image modes only) —
+// faster but not PIL-bit-identical; gated by the fast_decode config key.
 int stego_decode_transform(const char* path, int exp_w, int exp_h,
                            int resized_h, int resized_w, int top, int left,
                            int out_h, int out_w, int mode, int normalize,
-                           const float* mean, const float* stdv, int out_c,
-                           void* out) {
+                           int fast, const float* mean, const float* stdv,
+                           int out_c, void* out) {
   if (mode < 0 || mode > 2 || out_c < 1 || out_c > 4) return E_ARGS;
-  RowPlan plan;
-  if (!make_plan(exp_h, exp_w, resized_h, resized_w, top, left, out_h, out_w,
-                 &plan))
-    return E_ARGS;
   FILE* f = std::fopen(path, "rb");
   if (!f) return E_OPEN;
   unsigned char magic[8] = {0};
   size_t got = std::fread(magic, 1, 8, f);
   std::rewind(f);
   int ret;
+  const Geometry g{resized_h, resized_w, top, left, out_h, out_w};
   const size_t rb = out_row_bytes(mode, normalize, out_c, out_w);
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ret = decode_jpeg(f, exp_w, exp_h, plan, mode, normalize, mean, stdv, out_c,
-                      static_cast<unsigned char*>(out), rb);
+    ret = decode_jpeg(f, exp_w, exp_h, g, mode, normalize, fast, mean, stdv,
+                      out_c, static_cast<unsigned char*>(out), rb);
   } else if (got >= 8 && png_sig_cmp(magic, 0, 8) == 0) {
-    ret = decode_png(f, exp_w, exp_h, plan, mode, normalize, mean, stdv, out_c,
+    ret = decode_png(f, exp_w, exp_h, g, mode, normalize, mean, stdv, out_c,
                      static_cast<unsigned char*>(out), rb);
   } else {
     ret = E_FORMAT;

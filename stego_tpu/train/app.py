@@ -105,7 +105,8 @@ def make_datasets(cfg: Config):
         dataset_name=cfg.dataset_name,
         crop_type=cfg.crop_type,
         image_set="train",
-        transform=get_transform(cfg.res, False, cfg.loader_crop_type),
+        transform=get_transform(cfg.res, False, cfg.loader_crop_type,
+                                fast_decode=cfg.fast_decode),
         target_transform=get_transform(cfg.res, True, cfg.loader_crop_type),
         cfg=cfg,
         aug_geometric=need_aug,

@@ -153,6 +153,42 @@ def test_native_toggle_dataset_equivalence(tmp_path, monkeypatch):
             np.testing.assert_array_equal(x, y)
 
 
+def test_fast_decode_close_and_gated(tmp_path):
+    """fast_decode: DCT-scaled JPEG decode stays close to the exact path,
+    is bit-identical when no scale applies, and never touches labels."""
+    from stego_tpu.data.transforms import unnormalize
+
+    x = np.linspace(0, 20 * np.pi, 1280)
+    y = np.linspace(0, 15 * np.pi, 960)
+    base = (127 + 100 * np.sin(x)[None, :, None] *
+            np.cos(y)[:, None, None]).clip(0, 255).astype(np.uint8)
+    arr = np.repeat(base, 3, axis=2)
+    p = str(tmp_path / "big.jpg")
+    Image.fromarray(arr).save(p, quality=92)
+
+    exact = decode_transform_path(p, 224, "center", False, None, True)
+    fast = decode_transform_path(p, 224, "center", False, None, True,
+                                 fast=True)
+    assert exact is not None and fast is not None
+    assert fast.shape == exact.shape
+    d = np.abs(unnormalize(fast) - unnormalize(exact))
+    assert d.mean() < 0.05 and np.quantile(d, 0.99) < 0.2
+
+    # upscale target: scale_denom stays 1 -> bit-identical
+    small = np.random.default_rng(0).integers(
+        0, 255, (150, 200, 3), np.uint8)
+    ps = str(tmp_path / "small.jpg")
+    Image.fromarray(small).save(ps, quality=92)
+    np.testing.assert_array_equal(
+        decode_transform_path(ps, 224, "center", False, None, True),
+        decode_transform_path(ps, 224, "center", False, None, True,
+                              fast=True))
+
+    # labels are always exact: get_transform drops the flag for is_label
+    t = get_transform(64, True, "center", fast_decode=True)
+    assert t.fast_decode is False
+
+
 def test_threaded_loader_matches_sequential(tmp_path):
     class _DS:
         def __len__(self):
