@@ -201,6 +201,40 @@ def main():
                 sync(m_c)
                 c_dt = min(c_dt, (time.perf_counter() - t0) / STEPS)
             extra["feat_cached_imgs_per_sec"] = round(BATCH / c_dt / n_dev, 1)
+
+            # multi-step dispatch (steps_per_dispatch=16): K cached steps ride
+            # one lax.scan dispatch, amortizing per-dispatch latency
+            # (segmenter.make_cached_multi_step)
+            from stego_tpu.parallel.mesh import stacked_batch_sharding
+            from stego_tpu.train.segmenter import make_cached_multi_step
+
+            K = 16
+            ssh = stacked_batch_sharding(mesh)
+            cbk = {
+                "ind": jax.device_put(jax.random.randint(
+                    jax.random.fold_in(kc, 4), (K, BATCH), 0, 256, jnp.int32),
+                    ssh),
+                "ind_pos": jax.device_put(jax.random.randint(
+                    jax.random.fold_in(kc, 5), (K, BATCH), 0, 256, jnp.int32),
+                    ssh),
+            }
+            step_k = jax.jit(make_cached_multi_step(seg, K),
+                             donate_argnums=(1,))
+            state_k = jax.device_put(
+                seg.init_state(jax.random.fold_in(key, 10)), rsh)
+            for i in range(12):
+                state_k, m_k = step_k(cache, state_k, cbk, key, i * K)
+            sync({"loss/total": m_k["loss/total"][-1]})
+            k_dt = float("inf")
+            for r in range(ROUNDS):
+                t0 = time.perf_counter()
+                for i in range(8):
+                    state_k, m_k = step_k(cache, state_k, cbk, key,
+                                          1000 + i * K)
+                sync({"loss/total": m_k["loss/total"][-1]})
+                k_dt = min(k_dt, (time.perf_counter() - t0) / (8 * K))
+            extra["feat_cached_k16_imgs_per_sec"] = round(
+                BATCH / k_dt / n_dev, 1)
         except Exception as e:  # secondary metrics must never break the bench
             extra["extra_error"] = str(e)[:120]
 

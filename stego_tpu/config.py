@@ -190,6 +190,11 @@ class Config:
     cache_backbone_feats: bool = False
     # refuse to build a feature cache larger than this many GiB of HBM
     feat_cache_max_gb: float = 12.0
+    # cached mode only: run this many train steps per device dispatch
+    # (lax.scan over stacked index batches — segmenter.make_cached_multi_step).
+    # Amortizes host->device dispatch latency; step semantics, key sequence,
+    # and logging cadence are unchanged. 1 = one dispatch per step.
+    steps_per_dispatch: int = 1
     # SIGTERM -> checkpoint after the in-flight step, then exit cleanly
     # (TPU-pod preemption safety; pairs with resume=true). Handlers install
     # only on the main thread.
@@ -210,6 +215,13 @@ class Config:
             raise ValueError(
                 f"res={self.res} must be divisible by patch={self.dino_patch_size}"
             )
+        if self.steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
+        if self.steps_per_dispatch > 1 and not self.cache_backbone_feats:
+            raise ValueError(
+                "steps_per_dispatch>1 requires cache_backbone_feats=true "
+                "(only index-only cached batches can stack into one dispatch;"
+                " image batches are host-wire-bound, not dispatch-bound)")
         if self.potsdam_ir and not str(self.dataset_name).startswith("potsdam"):
             raise ValueError(
                 "potsdam_ir=true requires dataset_name=potsdam/potsdamraw "

@@ -83,6 +83,13 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (n_steps, batch, ...) stacks: steps replicated in time,
+    batch sharded over the data axis (multi-step dispatch,
+    train/segmenter.py:make_cached_multi_step)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a pytree of host arrays with the batch dim sharded over the mesh."""
     sh = batch_sharding(mesh)

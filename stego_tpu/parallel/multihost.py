@@ -64,14 +64,16 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def global_batch(mesh, host_batch: Dict[str, Any]) -> Dict[str, Any]:
+def global_batch(mesh, host_batch: Dict[str, Any],
+                 sharding=None) -> Dict[str, Any]:
     """Host-local numpy batch -> global jax.Arrays sharded over the mesh.
 
     Each process passes its local slice of the global batch; the result is a
     single global array whose shards live on this host's devices. With one
-    process this is exactly a sharded device_put.
-    """
-    sharding = batch_sharding(mesh)
+    process this is exactly a sharded device_put. ``sharding`` overrides the
+    default leading-axis batch sharding (multi-step dispatch stacks are
+    (n_steps, batch, ...) with the batch on axis 1)."""
+    sharding = sharding or batch_sharding(mesh)
 
     def put(a):
         return jax.make_array_from_process_local_data(sharding, np.asarray(a))

@@ -380,6 +380,16 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     # cd tensors on device. Measured on v5e: see CLAUDE.md perf notes.
     train_step = _jit_step(False)
     train_step_hist = _jit_step(True) if cfg.hist_freq else train_step
+    # cached mode: K steps per dispatch (lax.scan over stacked index batches)
+    # amortizes per-dispatch latency — semantics/keys/logs identical to K
+    # single steps (segmenter.make_cached_multi_step)
+    multi_step = None
+    k_multi = cfg.steps_per_dispatch
+    if feat_cache is not None and k_multi > 1 and not cfg.checkify:
+        from stego_tpu.train.segmenter import make_cached_multi_step
+
+        multi_step = jax.jit(make_cached_multi_step(seg, k_multi),
+                             donate_argnums=(1,))
     if val_cache is not None:
         from stego_tpu.train.segmenter import make_cached_val_step
 
@@ -475,6 +485,27 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         for s in (signal.SIGTERM,):
             prev_handlers[s] = signal.signal(s, _request_stop)
 
+    def _window_clear(s: int) -> bool:
+        """True when steps s..s+K-1 may run as ONE dispatch: hist steps and
+        profiler-trace boundaries need the single-step path anywhere in the
+        window; val/checkpoint/probe-reset/max_steps boundaries are post-step
+        actions, so they are fine on the window's LAST step but not interior."""
+        if s + k_multi > cfg.max_steps:
+            return False
+        if cfg.profile_dir and s < 21 and s + k_multi > 10:
+            return False  # trace hooks fire at exactly steps 10 and 20
+        for j in range(k_multi):
+            one = s + j + 1
+            if cfg.hist_freq and one % cfg.hist_freq == 0:
+                return False
+            if j < k_multi - 1:
+                if one % cfg.val_freq == 0 or one % cfg.checkpoint_freq == 0:
+                    return False
+                if cfg.reset_probe_steps is not None and \
+                        one == cfg.reset_probe_steps:
+                    return False
+        return True
+
     metrics_out: Dict[str, float] = {}
     batches: Iterator = infinite_batches(train_loader)
     t0 = time.time()
@@ -484,7 +515,8 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     # handlers (they close over THIS run's stop_signal — leaking them breaks
     # library/test callers) and close the logger/checkpoint manager.
     try:
-        for step_idx in range(start_step, cfg.max_steps):
+        step_idx = start_step
+        while step_idx < cfg.max_steps:
             # profiler trace hooks (SURVEY.md §5): capture steps 10-20 when enabled
             if cfg.profile_dir and step_idx == 10:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -492,75 +524,113 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             if profiling and step_idx == 20:
                 jax.profiler.stop_trace()
                 profiling = False
-            batch = next(batches)
-            batch = {k: batch[k] for k in step_keys if k in batch}
-            if pc > 1:
-                from stego_tpu.data.loader import compact_batch
 
-                dev_batch = global_batch(mesh, compact_batch(batch))
+            stacked = None
+            if multi_step is not None and _window_clear(step_idx):
+                wins = [next(batches) for _ in range(k_multi)]
+                host = {k: np.stack([np.asarray(w[k]) for w in wins])
+                        for k in step_keys if k in wins[0]}
+                from stego_tpu.parallel.mesh import stacked_batch_sharding
+
+                ssh = stacked_batch_sharding(mesh)
+                if pc > 1:
+                    dev_batch = global_batch(mesh, host, sharding=ssh)
+                else:
+                    dev_batch = {k: jax.device_put(jnp.asarray(v), ssh)
+                                 for k, v in host.items()}
+                state, stacked = multi_step(feat_cache, state, dev_batch,
+                                            k_steps, step_idx)
+                n_done = k_multi
+                metrics = None
             else:
-                dev_batch = _device_batch(batch, bs)
-            hist_step = bool(cfg.hist_freq) and \
-                (step_idx + 1) % cfg.hist_freq == 0
-            step_fn = train_step_hist if hist_step else train_step
-            # cached mode: first positional arg is the feature cache, not the
-            # backbone — indices were device_put like any batch above
-            first = feat_cache if feat_cache is not None else backbone
-            state, metrics = step_fn(
-                first, state, dev_batch,
-                jax.random.fold_in(k_steps, step_idx),
-            )
-            imgs_seen += cfg.batch_size
+                batch = next(batches)
+                batch = {k: batch[k] for k in step_keys if k in batch}
+                if pc > 1:
+                    from stego_tpu.data.loader import compact_batch
+
+                    dev_batch = global_batch(mesh, compact_batch(batch))
+                else:
+                    dev_batch = _device_batch(batch, bs)
+                hist_step = bool(cfg.hist_freq) and \
+                    (step_idx + 1) % cfg.hist_freq == 0
+                step_fn = train_step_hist if hist_step else train_step
+                # cached mode: first positional arg is the feature cache, not
+                # the backbone — indices were device_put like any batch above
+                first = feat_cache if feat_cache is not None else backbone
+                state, metrics = step_fn(
+                    first, state, dev_batch,
+                    jax.random.fold_in(k_steps, step_idx),
+                )
+                n_done = 1
+            imgs_seen += cfg.batch_size * n_done
+            cur = step_idx + n_done - 1
 
             if cfg.reset_probe_steps is not None and \
-                    step_idx + 1 == cfg.reset_probe_steps:
+                    cur + 1 == cfg.reset_probe_steps:
                 print("RESETTING PROBES")
                 state = seg.reset_probes(
                     jax.random.fold_in(k_steps, cfg.max_steps + 1), state
                 )
                 state = jax.device_put(state, rs)
 
-            if (step_idx + 1) % cfg.scalar_log_freq == 0:
-                host = {k: float(v) for k, v in metrics.items()
-                        if not k.startswith("hist/")}
+            log_js = [j for j in range(n_done)
+                      if (step_idx + j + 1) % cfg.scalar_log_freq == 0]
+            if log_js:
+                if stacked is not None:
+                    host_m = jax.device_get(
+                        {k: v for k, v in stacked.items()
+                         if not k.startswith("hist/")})
+                    # interior log steps get plain scalars; the window's last
+                    # log step carries the rolling imgs_per_sec below
+                    for j in log_js[:-1]:
+                        logger.log_scalars(
+                            step_idx + j + 1,
+                            {k: float(v[j]) for k, v in host_m.items()})
+                    j = log_js[-1]
+                    host = {k: float(v[j]) for k, v in host_m.items()}
+                else:
+                    host = {k: float(v) for k, v in metrics.items()
+                            if not k.startswith("hist/")}
+                    j = log_js[-1]
                 # rolling window so compile time doesn't pollute steady state
                 dt = time.time() - t0
                 host["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
                 t0 = time.time()
                 imgs_seen = 0
-                logger.log_scalars(step_idx + 1, host)
+                logger.log_scalars(step_idx + j + 1, host)
 
-            if cfg.hist_freq and (step_idx + 1) % cfg.hist_freq == 0:
+            if cfg.hist_freq and (cur + 1) % cfg.hist_freq == 0 and metrics:
                 for k, v in metrics.items():
                     if k.startswith("hist/"):
-                        logger.log_histogram_counts(step_idx + 1, k, v)
+                        logger.log_histogram_counts(cur + 1, k, v)
 
-            if (step_idx + 1) % cfg.val_freq == 0 or step_idx + 1 == cfg.max_steps:
+            if (cur + 1) % cfg.val_freq == 0 or cur + 1 == cfg.max_steps:
                 metrics_out = run_validation(
                     seg, val_step, backbone, state["params"], val_loader, mesh,
                     val_bs,
-                    figure_prefix=(join(log_dir, f"val_{step_idx + 1}_")
+                    figure_prefix=(join(log_dir, f"val_{cur + 1}_")
                                    if primary else None),
                     val_cache=val_cache, val_base=val_dataset.dataset,
                 )
-                logger.log_scalars(step_idx + 1, metrics_out)
-                print(f"step {step_idx + 1}: " + ", ".join(
+                logger.log_scalars(cur + 1, metrics_out)
+                print(f"step {cur + 1}: " + ", ".join(
                     f"{k}={v:.2f}" for k, v in metrics_out.items()))
 
-            if mgr is not None and ((step_idx + 1) % cfg.checkpoint_freq == 0 or
-                                    step_idx + 1 == cfg.max_steps):
-                mgr.save(step_idx + 1, jax.device_get(state), metrics=metrics_out)
+            if mgr is not None and ((cur + 1) % cfg.checkpoint_freq == 0 or
+                                    cur + 1 == cfg.max_steps):
+                mgr.save(cur + 1, jax.device_get(state), metrics=metrics_out)
 
             if stop_signal:
                 if mgr is not None:
                     # force-save regardless of top-k ranking: a preemption
                     # checkpoint must land even if its metrics are worse
-                    mgr.save_preemption(step_idx + 1, jax.device_get(state),
+                    mgr.save_preemption(cur + 1, jax.device_get(state),
                                         metrics=metrics_out)
                     mgr.wait_until_finished()
-                print(f"exiting after step {step_idx + 1} on signal "
+                print(f"exiting after step {cur + 1} on signal "
                       f"{stop_signal[0]} (resume=true continues from here)")
                 break
+            step_idx += n_done
     finally:
         for s, h in prev_handlers.items():
             signal.signal(s, h)

@@ -515,6 +515,42 @@ def make_cached_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
     return train_step
 
 
+def make_cached_multi_step(seg: UnsupervisedSegmenter, n_steps: int,
+                           with_hist: bool = False):
+    """``n_steps`` cached train steps in ONE dispatch (``lax.scan``).
+
+    A cached step's input is two (B,) int32 index vectors, so a window of K
+    steps rides a single device dispatch — on hosts where per-dispatch
+    latency rivals the 3 ms on-device step (remote-tunneled chips measure
+    ~2 ms/dispatch; even PCIe hosts pay ~0.1 ms) this recovers nearly the
+    full device rate. Measured on v5e via the tunnel: 5.07 -> 3.56 ms/step
+    at K=16 (scripts/bench_cached.py).
+
+    Signature: ``(cache, state, batch, key, start_step) -> (state, metrics)``
+    where ``batch`` holds (K, B) index stacks, ``key`` is the RUN-level key
+    (NOT pre-folded), and ``start_step`` is the absolute index of the window's
+    first step. Sub-step j folds ``key`` by ``start_step + j`` — the exact
+    per-step key sequence of the single-step path (train/app.py:509-512), so
+    a K-step window is bitwise-identical to K single dispatches
+    (tests/test_feat_cache.py). Metrics come back stacked (K,) per scalar so
+    the app can honor any scalar_log_freq inside the window.
+    """
+    single = make_cached_train_step(seg, with_hist=with_hist)
+
+    def multi_step(cache: Dict[str, Any], state: Dict[str, Any],
+                   batch: Dict[str, Any], key: jax.Array,
+                   start_step: jax.Array):
+        def body(st, xs):
+            j, sub = xs
+            return single(cache, st, sub, jax.random.fold_in(key,
+                                                             start_step + j))
+
+        xs = (jnp.arange(n_steps), batch)
+        return jax.lax.scan(body, state, xs)
+
+    return multi_step
+
+
 def make_cached_val_step(seg: UnsupervisedSegmenter):
     """Validation step over a feature cache built at ``val_res``.
 

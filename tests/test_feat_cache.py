@@ -163,6 +163,61 @@ def test_cached_step_sharded_matches_single_device(cpu_devices):
         rtol=1e-4, atol=1e-5)
 
 
+def test_multi_step_matches_single_steps():
+    """A K-step window (make_cached_multi_step) must be bitwise-equivalent to
+    K single dispatches: same fold_in(key, step) sequence, same state chain,
+    and stacked metrics equal to the per-step metrics."""
+    from stego_tpu.train.segmenter import make_cached_multi_step
+
+    cfg, seg, backbone, state = tiny_setup()
+    ds = _FakeContrastive()
+    cache = build_feat_cache(seg, backbone, ds, cfg, make_mesh(1))
+    rng = np.random.default_rng(3)
+    K, B = 4, 8
+    ind = rng.integers(0, N_ITEMS, size=(2 * K, B)).astype(np.int32)
+    ind_pos = rng.integers(0, N_ITEMS, size=(2 * K, B)).astype(np.int32)
+    base_key = jr.PRNGKey(11)
+    start = 5  # arbitrary absolute step offset (resume parity)
+
+    single = jax.jit(make_cached_train_step(seg, with_hist=False))
+    s_ref = state
+    per_step = []
+    for j in range(2 * K):
+        s_ref, m = single(cache, s_ref,
+                          {"ind": jnp.asarray(ind[j]),
+                           "ind_pos": jnp.asarray(ind_pos[j])},
+                          jr.fold_in(base_key, start + j))
+        per_step.append(m)
+
+    multi = jax.jit(make_cached_multi_step(seg, K))
+    s_m = state
+    stacks = []
+    for w in range(2):
+        s_m, ms = multi(cache, s_m,
+                        {"ind": jnp.asarray(ind[w * K:(w + 1) * K]),
+                         "ind_pos": jnp.asarray(ind_pos[w * K:(w + 1) * K])},
+                        base_key, start + w * K)
+        stacks.append(ms)
+
+    for w in range(2):
+        for j in range(K):
+            m_ref = per_step[w * K + j]
+            for k in m_ref:
+                np.testing.assert_allclose(
+                    np.asarray(m_ref[k]), np.asarray(stacks[w][k][j]),
+                    rtol=1e-5, atol=1e-6, err_msg=f"window {w} step {j} {k}")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s_ref["params"], s_m["params"])
+
+
+def test_steps_per_dispatch_requires_cache():
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        Config(dataset_name="directory", dir_dataset_name="s", res=RES,
+               crop_type=None, steps_per_dispatch=4)
+
+
 def test_sampler_matches_contrastive_pair_draw():
     """FeatCacheSampler must reproduce ContrastiveSegDataset's neighbor
     choice exactly: same (seed, epoch, ind) Generator, same first draw."""

@@ -154,3 +154,22 @@ def test_end_to_end_feat_cache_matches_uncached(data_root, tmp_path):
     for k in base_metrics:
         assert abs(base_metrics[k] - fc_metrics[k]) < 0.5, (
             k, base_metrics[k], fc_metrics[k])
+
+    # multi-step dispatch (steps_per_dispatch=2): the same 4 steps run as two
+    # scanned windows — same batches, same fold_in(key, step) sequence, so
+    # the final metrics must match the single-dispatch cached run exactly
+    cfg_k = make_cfg(data_root, tmp_path, experiment_name="fc_multi",
+                     max_steps=4, val_freq=4, checkpoint_freq=4,
+                     cache_backbone_feats=True, steps_per_dispatch=2,
+                     scalar_log_freq=1)
+    k_metrics = train(cfg_k, vit_cfg=TINY_VIT)
+    for k in fc_metrics:
+        assert abs(fc_metrics[k] - k_metrics[k]) < 1e-6, (
+            k, fc_metrics[k], k_metrics[k])
+    # interior scalar-log steps were served from the stacked metrics
+    log_file = os.path.join(cfg_k.output_root, "logs", "directory_fc_multi",
+                            "metrics.jsonl")
+    import json
+
+    steps = [json.loads(line)["step"] for line in open(log_file)]
+    assert {1, 2, 3, 4}.issubset(set(steps))
