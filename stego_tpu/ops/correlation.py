@@ -139,6 +139,7 @@ def contrastive_correlation_loss(
     orig_code_pos: jnp.ndarray,
     orig_salience: Optional[jnp.ndarray] = None,
     orig_salience_pos: Optional[jnp.ndarray] = None,
+    sampling_impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Full three-pair loss (reference forward, src/modules.py:349-398).
 
@@ -146,7 +147,8 @@ def contrastive_correlation_loss(
     pairs plus ``neg_samples`` batch-derangement negatives. Returns a dict with
     scalar 'pos_intra_loss'/'pos_inter_loss', non-reduced 'neg_inter_loss'
     (the caller means it, matching train_segmentation.py:169), and the cd
-    tensors for histogram logging.
+    tensors for histogram logging. ``sampling_impl`` selects the grid-sample
+    implementation (ops/sampling.py).
     """
     b = orig_feats.shape[0]
     s = cfg.feature_samples
@@ -155,10 +157,13 @@ def contrastive_correlation_loss(
     coords1 = _draw_coords(k_c1, b, s, orig_salience, cfg)
     coords2 = _draw_coords(k_c2, b, s, orig_salience_pos, cfg)
 
-    feats = sample_from_coords(orig_feats, coords1)
-    code = sample_from_coords(orig_code, coords1)
-    feats_pos = sample_from_coords(orig_feats_pos, coords2)
-    code_pos = sample_from_coords(orig_code_pos, coords2)
+    def sample(t, c):
+        return sample_from_coords(t, c, impl=sampling_impl)
+
+    feats = sample(orig_feats, coords1)
+    code = sample(orig_code, coords1)
+    feats_pos = sample(orig_feats_pos, coords2)
+    code_pos = sample(orig_code_pos, coords2)
 
     pos_intra_loss, pos_intra_cd = corr_loss_helper(
         feats, feats, code, code, cfg.pos_intra_shift, cfg
@@ -171,8 +176,8 @@ def contrastive_correlation_loss(
     neg_cds = []
     for nk in jax.random.split(k_neg, cfg.neg_samples):
         perm_neg = super_perm(b, nk)
-        feats_neg = sample_from_coords(orig_feats[perm_neg], coords2)
-        code_neg = sample_from_coords(orig_code[perm_neg], coords2)
+        feats_neg = sample(orig_feats[perm_neg], coords2)
+        code_neg = sample(orig_code[perm_neg], coords2)
         neg_inter_loss, neg_inter_cd = corr_loss_helper(
             feats, feats_neg, code, code_neg, cfg.neg_inter_shift, cfg
         )

@@ -471,6 +471,7 @@ def contrastive_correlation_loss_fused(
     feat_dtype=jnp.float32,
     mesh=None,
     code_bf16: bool = False,
+    sampling_impl: str = "auto",
 ):
     """Three-pair contrastive loss through the fused kernel.
 
@@ -537,22 +538,52 @@ def contrastive_correlation_loss_fused(
         s = cfg.feature_samples
         coords1 = _draw_coords(k_c1, b, s, orig_salience, cfg)
         coords2 = _draw_coords(k_c2, b, s, orig_salience_pos, cfg)
-        feats = sample_from_coords(orig_feats, coords1)
-        code = sample_from_coords(orig_code, coords1)
-        feats_pos = sample_from_coords(orig_feats_pos, coords2)
-        code_pos = sample_from_coords(orig_code_pos, coords2)
+
+        from stego_tpu.ops.sampling import (
+            apply_sample_weights,
+            bilinear_sample_weights,
+            resolve_sampling_impl,
+        )
+
+        hw = orig_feats.shape[1:3]
+        impl = resolve_sampling_impl(hw, (s, s), sampling_impl)
+        if impl == "matmul":
+            # one weight matrix per coordinate set, shared across every
+            # tensor sampled at it (the per-call form rebuilt it 12x); the
+            # negatives batch into ONE (neg·B)-batched contraction
+            g1 = jnp.transpose(coords1, (0, 2, 1, 3))
+            g2 = jnp.transpose(coords2, (0, 2, 1, 3))
+            w1 = bilinear_sample_weights(hw, g1)
+            w2 = bilinear_sample_weights(hw, g2)
+            ohw = (s, s)
+            feats = apply_sample_weights(w1, orig_feats, ohw)
+            code = apply_sample_weights(w1, orig_code, ohw)
+            feats_pos = apply_sample_weights(w2, orig_feats_pos, ohw)
+            code_pos = apply_sample_weights(w2, orig_code_pos, ohw)
+            if has_neg:
+                p_all = jnp.concatenate(perms, axis=0)  # (neg·B,)
+                w2_t = jnp.tile(w2, (cfg.neg_samples, 1, 1))
+                feats_neg = apply_sample_weights(w2_t, orig_feats[p_all], ohw)
+                code_neg = apply_sample_weights(w2_t, orig_code[p_all], ohw)
+        else:
+            def sample(t, c):
+                return sample_from_coords(t, c, impl=impl)
+
+            feats = sample(orig_feats, coords1)
+            code = sample(orig_code, coords1)
+            feats_pos = sample(orig_feats_pos, coords2)
+            code_pos = sample(orig_code_pos, coords2)
+            if has_neg:
+                feats_neg = jnp.concatenate(
+                    [sample(orig_feats[p], coords2) for p in perms], axis=0)
+                code_neg = jnp.concatenate(
+                    [sample(orig_code[p], coords2) for p in perms], axis=0)
 
         pairs = [
             (feats, feats, code, code),
             (feats, feats_pos, code, code_pos),
         ]
         if has_neg:
-            feats_neg = jnp.concatenate(
-                [sample_from_coords(orig_feats[p], coords2) for p in perms],
-                axis=0)
-            code_neg = jnp.concatenate(
-                [sample_from_coords(orig_code[p], coords2) for p in perms],
-                axis=0)
             reps = (cfg.neg_samples,) + (1,) * (feats.ndim - 1)
             pairs.append((jnp.tile(feats, reps), feats_neg,
                           jnp.tile(code, reps), code_neg))

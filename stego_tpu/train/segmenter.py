@@ -170,7 +170,8 @@ class UnsupervisedSegmenter:
 
 
 def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
-                      salience, salience_pos, with_hist=True):
+                      salience, salience_pos, with_hist=True,
+                      sampling_impl="auto"):
     if cfg.use_pallas_loss or cfg.full_field_loss:
         from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
 
@@ -185,11 +186,12 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
             feat_dtype=(jnp.bfloat16 if cfg.backbone_dtype == "bfloat16"
                         else jnp.float32),
             code_bf16=cfg.pallas_loss_bf16,
+            sampling_impl=sampling_impl,
         )
     else:
         out = contrastive_correlation_loss(
             seg.corr_cfg, key, signal, signal_pos, code, code_pos,
-            salience, salience_pos,
+            salience, salience_pos, sampling_impl=sampling_impl,
         )
     corr_loss = (
         cfg.pos_inter_weight * out["pos_inter_loss"]
@@ -238,13 +240,20 @@ def _split_step_keys(key: jax.Array):
 def _update_from_feats(seg: UnsupervisedSegmenter, opts, with_hist: bool,
                        state: Dict[str, Any], ks: Dict[str, jax.Array],
                        image_feat, image_feat_pos, image_feat_aug,
-                       batch: Dict[str, Any]):
+                       batch: Dict[str, Any], sampling_impl: str = "auto"):
     """Everything after the frozen backbone: head code, losses, gradients, the
     three Adam updates (reference training_step below its net() calls,
     train_segmentation.py:134-230). ``batch`` carries label and — as the
     configured losses demand — label_pos / mask / mask_pos / coord_aug / img.
     Shared by :func:`make_train_step` (features from images in-step) and
     :func:`make_cached_train_step` (features gathered from the device cache).
+
+    ``sampling_impl`` picks the grid-sample form for the loss's coordinate
+    draws (ops/sampling.py). Measured on v5e: the matmul form wins inside the
+    cached step (3.53 -> 2.12 ms/step at steps_per_dispatch=16) but LOSES
+    inside the image step (22.3 -> 23.7 ms — the serializing gathers overlap
+    the trunk's DMA/MXU schedule there, the extra matmuls don't), so each
+    step builder passes its measured winner.
     """
     cfg = seg.cfg
     use_pos = cfg.correspondence_weight > 0
@@ -278,6 +287,7 @@ def _update_from_feats(seg: UnsupervisedSegmenter, opts, with_hist: bool,
             corr_loss, corr_metrics = _corr_pair_losses(
                 seg, cfg, ks["corr"], signal, signal_pos, code, code_pos,
                 salience, salience_pos, with_hist=with_hist,
+                sampling_impl=sampling_impl,
             )
             loss = loss + corr_loss
             metrics.update(corr_metrics)
@@ -299,7 +309,8 @@ def _update_from_feats(seg: UnsupervisedSegmenter, opts, with_hist: bool,
             # reference sample() quirk: the dataset stores (y, x) coords and
             # sample() transposes the grid — the two swaps cancel on square
             # inputs (train_segmentation.py:189-198, data.py:530-532).
-            resampled = sample_from_coords(code, coord_small)
+            resampled = sample_from_coords(code, coord_small,
+                                           impl=sampling_impl)
             aug_alignment = -jnp.mean(jnp.sum(
                 l2_normalize(resampled) * l2_normalize(code_aug), axis=-1
             ))
@@ -455,9 +466,11 @@ def make_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
 
         if use_aug:
             batch = dict(batch, coord_aug=coord_aug)
+        # "gather" measured faster than the matmul sampler INSIDE the image
+        # step on v5e (22.3 vs 23.7 ms — see _update_from_feats docstring)
         return _update_from_feats(seg, opts, with_hist, state, ks,
                                   image_feat, image_feat_pos, image_feat_aug,
-                                  batch)
+                                  batch, sampling_impl="gather")
 
     return train_step
 
@@ -509,8 +522,12 @@ def make_cached_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
                 sub["mask"] = take(cache["mask"], ind).astype(jnp.float32)
                 sub["mask_pos"] = take(cache["mask"],
                                        ind_pos).astype(jnp.float32)
+        # "auto" -> matmul sampler on TPU: without a trunk in the graph the
+        # serializing gathers are the critical path (cached step 3.53 ->
+        # 2.12 ms at K=16; see _update_from_feats docstring)
         return _update_from_feats(seg, opts, with_hist, state, ks,
-                                  image_feat, image_feat_pos, None, sub)
+                                  image_feat, image_feat_pos, None, sub,
+                                  sampling_impl="auto")
 
     return train_step
 

@@ -190,6 +190,34 @@ def test_fused_three_pair_wrapper_matches_einsum_stats():
                                rtol=2e-5, atol=1e-6)
 
 
+def test_fused_matmul_sampling_matches_gather_sampling():
+    """The shared-weight-matrix sampling branch (sampling_impl='matmul', the
+    TPU default in the cached step) must reproduce the gather branch: same
+    coordinate draws, same negatives batching, same losses and code grads."""
+    from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
+
+    cfg = CorrLossCfg(feature_samples=4, neg_samples=3)
+    key = jr.PRNGKey(9)
+    b = 3
+    feats = jr.normal(jr.PRNGKey(1), (b, 6, 6, 10))
+    feats_pos = jr.normal(jr.PRNGKey(2), (b, 6, 6, 10))
+    code = jr.normal(jr.PRNGKey(3), (b, 6, 6, 5))
+    code_pos = jr.normal(jr.PRNGKey(4), (b, 6, 6, 5))
+
+    def run(impl, c):
+        out = contrastive_correlation_loss_fused(
+            cfg, key, feats, feats_pos, c, code_pos, interpret=True,
+            sampling_impl=impl)
+        return (out["pos_intra_loss"] + out["pos_inter_loss"]
+                + jnp.mean(out["neg_inter_loss"]))
+
+    v_g, g_g = jax.value_and_grad(lambda c: run("gather", c))(code)
+    v_m, g_m = jax.value_and_grad(lambda c: run("matmul", c))(code)
+    np.testing.assert_allclose(float(v_m), float(v_g), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_g),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_full_field_mode_runs_with_grads():
     from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
 
