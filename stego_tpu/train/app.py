@@ -195,7 +195,8 @@ def _pad_batch(batch: Dict[str, Any], size: int) -> Dict[str, Any]:
 
 def run_validation(seg, val_step, backbone, params, val_loader, mesh,
                    batch_size: int, figure_prefix: Optional[str] = None,
-                   val_cache=None, val_base=None) -> Dict[str, float]:
+                   val_cache=None, val_base=None,
+                   val_epoch=None) -> Dict[str, float]:
     """Sharded validation epoch: device-side confusion matrices, host-side
     Hungarian (reference validation_step/epoch_end,
     train_segmentation.py:254-283). When ``figure_prefix`` is given, also
@@ -213,7 +214,36 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
 
     pc = jax.process_count()
     panel = None
-    for batch in val_loader:
+    if val_epoch is not None and val_cache is not None and pc == 1:
+        # whole cached epoch in ONE dispatch (scan over stacked index
+        # batches; only two confusion matrices leave the device). The panel
+        # figure needs per-pixel preds of a handful of images — one extra
+        # single-batch dispatch when figures are requested.
+        from stego_tpu.parallel.mesh import stacked_batch_sharding
+
+        batches = [_pad_batch(b, batch_size) for b in val_loader]
+        inds = np.stack([np.asarray(b["ind"]).astype(np.int32)
+                         for b in batches])
+        dev = jax.device_put(jnp.asarray(inds), stacked_batch_sharding(mesh))
+        out = val_epoch(val_cache, params, dev)
+        linear_metrics.merge_stats(np.asarray(out["conf_linear"]))
+        cluster_metrics.merge_stats(np.asarray(out["conf_cluster"]))
+        if figure_prefix is not None and batches:
+            first = {"ind": jax.device_put(jnp.asarray(inds[0]), bs)}
+            out1 = val_step(val_cache, params, first)
+            idxs = [int(i) for i in inds[0][:seg.cfg.n_images] if int(i) >= 0]
+            items = [val_base[i] for i in idxs]
+            n = len(idxs)
+            panel = {
+                "img": np.stack([it[0] for it in items]),
+                "label": np.stack([it[1] for it in items]),
+                "linear": np.asarray(out1["linear_preds"][:n]),
+                "cluster": np.asarray(out1["cluster_preds"][:n]),
+            }
+        val_iter = []
+    else:
+        val_iter = val_loader
+    for batch in val_iter:
         batch = _pad_batch(batch, batch_size)
         from stego_tpu.data.loader import compact_batch
 
@@ -390,10 +420,15 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
 
         multi_step = jax.jit(make_cached_multi_step(seg, k_multi),
                              donate_argnums=(1,))
+    val_epoch = None
     if val_cache is not None:
-        from stego_tpu.train.segmenter import make_cached_val_step
+        from stego_tpu.train.segmenter import (
+            make_cached_val_epoch,
+            make_cached_val_step,
+        )
 
         val_step = jax.jit(make_cached_val_step(seg))
+        val_epoch = jax.jit(make_cached_val_epoch(seg))
     else:
         val_step = jax.jit(make_val_step(seg))
 
@@ -611,6 +646,7 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                     figure_prefix=(join(log_dir, f"val_{cur + 1}_")
                                    if primary else None),
                     val_cache=val_cache, val_base=val_dataset.dataset,
+                    val_epoch=val_epoch,
                 )
                 logger.log_scalars(cur + 1, metrics_out)
                 print(f"step {cur + 1}: " + ", ".join(

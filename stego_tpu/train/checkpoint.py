@@ -70,14 +70,25 @@ class CheckpointManager:
             # a secondary thread races the manager's async saves for orbax's
             # global signaling-contract keys (observed TimeoutError on
             # 'awaitable_signals_contract_*'); blocking inside this thread
-            # is exactly the point anyway
-            try:
-                ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
-                ckptr.save(path, args=ocp.args.StandardSave(
-                    jax.device_get(backbone_params)))
-                self._backbone_saved = True
-            except BaseException as e:  # re-raised at the next join point
-                self._backbone_error = e
+            # is exactly the point anyway. Bounded retries: orbax's tmp-dir
+            # finalize has a known load-induced race (FileNotFoundError /
+            # TimeoutError under heavy CPU contention — see CLAUDE.md); the
+            # backbone save is idempotent, so retrying with force=True is
+            # strictly better than failing the run.
+            import time
+
+            host_params = jax.device_get(backbone_params)
+            for attempt in range(3):
+                try:
+                    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+                    ckptr.save(path, args=ocp.args.StandardSave(host_params),
+                               force=attempt > 0)
+                    self._backbone_saved = True
+                    self._backbone_error = None
+                    return
+                except BaseException as e:  # re-raised at the next join point
+                    self._backbone_error = e
+                    time.sleep(1.0 + attempt)
 
         self._backbone_thread = threading.Thread(target=_save, daemon=True)
         self._backbone_thread.start()

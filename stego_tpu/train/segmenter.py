@@ -620,6 +620,34 @@ def make_cached_val_step(seg: UnsupervisedSegmenter):
     return val_step
 
 
+def make_cached_val_epoch(seg: UnsupervisedSegmenter):
+    """A WHOLE cached validation epoch in one dispatch.
+
+    ``lax.scan`` of :func:`make_cached_val_step` over (n_batches, B) index
+    stacks, accumulating the confusion matrices on device — the epoch's only
+    outputs are two tiny int32 matrices, so there is no reason to pay
+    per-batch dispatch latency (~2 ms on tunneled hosts) for a val set of
+    hundreds of batches. Padded rows arrive as ind = -1 and contribute
+    nothing (same contract as the single step).
+    """
+    single = make_cached_val_step(seg)
+    nc = seg.n_classes
+    extra = seg.cfg.extra_clusters
+
+    def val_epoch(cache: Dict[str, Any], params: Params, inds: jnp.ndarray):
+        def body(carry, ind):
+            out = single(cache, params, {"ind": ind})
+            return (carry[0] + out["conf_linear"],
+                    carry[1] + out["conf_cluster"]), None
+
+        init = (jnp.zeros((nc, nc), jnp.int32),
+                jnp.zeros((nc + extra, nc), jnp.int32))
+        (cl, cc), _ = jax.lax.scan(body, init, inds)
+        return {"conf_linear": cl, "conf_cluster": cc}
+
+    return val_epoch
+
+
 def make_val_step(seg: UnsupervisedSegmenter):
     """Validation step (reference validation_step,
     train_segmentation.py:254-269): code upsampled to label resolution, probe

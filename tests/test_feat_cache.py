@@ -297,6 +297,33 @@ def test_cached_val_step_matches_image_val_step():
                                   np.asarray(out_c["linear_preds"]))
 
 
+def test_cached_val_epoch_matches_batch_loop():
+    """One-dispatch epoch (scan over stacked index batches) must produce the
+    exact summed confusion matrices of the per-batch loop, incl. -1 padding."""
+    from stego_tpu.train.segmenter import (
+        make_cached_val_epoch,
+        make_cached_val_step,
+    )
+
+    cfg, seg, backbone, state = tiny_setup()
+    ds = _FakeContrastive()
+    cache = build_feat_cache(seg, backbone, ds, cfg, make_mesh(1),
+                             with_mask=False)
+    inds = np.array([[0, 3, 5, 7, 2, 9, 11, 1],
+                     [4, 6, 8, 10, 0, 2, -1, -1]], np.int32)
+    step = jax.jit(make_cached_val_step(seg))
+    want_l = sum(np.asarray(step(cache, state["params"],
+                                 {"ind": jnp.asarray(row)})["conf_linear"])
+                 for row in inds)
+    want_c = sum(np.asarray(step(cache, state["params"],
+                                 {"ind": jnp.asarray(row)})["conf_cluster"])
+                 for row in inds)
+    out = jax.jit(make_cached_val_epoch(seg))(cache, state["params"],
+                                              jnp.asarray(inds))
+    np.testing.assert_array_equal(np.asarray(out["conf_linear"]), want_l)
+    np.testing.assert_array_equal(np.asarray(out["conf_cluster"]), want_c)
+
+
 def test_cached_val_step_ignores_padding():
     """ind = -1 (short-final-batch padding) must contribute zero pixels to
     the confusion matrices."""
