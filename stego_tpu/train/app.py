@@ -36,6 +36,11 @@ from stego_tpu.utils.metrics import UnsupervisedMetrics
 TRAIN_BATCH_KEYS = ("img", "label", "img_pos", "label_pos", "mask", "mask_pos",
                     "img_aug", "coord_aug", "ind", "ind_pos")
 
+# row i of a device-resident (n_steps, B, ...) schedule, sliced ON DEVICE
+# (traced index: one compile serves every row)
+_sched_row = jax.jit(
+    lambda a, i: jax.lax.dynamic_index_in_dim(a, i, axis=0, keepdims=False))
+
 
 def get_class_labels(dataset_name: str):
     """Human-readable class names (reference train_segmentation.py:20-50)."""
@@ -340,9 +345,13 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                    f"{cfg.dataset_name}_{cfg.experiment_name}")
     ckpt_dir = join(cfg.output_root, "checkpoints",
                     f"{cfg.dataset_name}_{cfg.experiment_name}")
-    from stego_tpu.utils.logging import NullLogger
+    from stego_tpu.utils.logging import AsyncMetricWriter, NullLogger
 
-    logger = MetricLogger(log_dir) if primary else NullLogger()
+    # async writer: the loop hands DEVICE scalars to a worker thread — a
+    # synchronous float() every scalar_log_freq steps costs a full
+    # device->host round trip (~30 ms on tunneled hosts, CLAUDE.md)
+    logger = (AsyncMetricWriter(MetricLogger(log_dir)) if primary
+              else NullLogger())
 
     if train_dataset is None or val_dataset is None:
         train_dataset, val_dataset = make_datasets(cfg)
@@ -543,9 +552,16 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
 
     metrics_out: Dict[str, float] = {}
     batches: Iterator = infinite_batches(train_loader)
-    t0 = time.time()
     imgs_seen = 0
     profiling = False
+    # index-batch schedule (multi-step cached mode): refilled every sched_len
+    # steps with one host->device transfer
+    sched = None
+    sched_base = 0
+    sched_len = k_multi * 64
+    from stego_tpu.parallel.mesh import stacked_batch_sharding
+
+    ssh = stacked_batch_sharding(mesh)
     # try/finally: a mid-loop exception must still restore the signal
     # handlers (they close over THIS run's stop_signal — leaking them breaks
     # library/test callers) and close the logger/checkpoint manager.
@@ -561,22 +577,40 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                 profiling = False
 
             stacked = None
-            if multi_step is not None and _window_clear(step_idx):
-                wins = [next(batches) for _ in range(k_multi)]
-                host = {k: np.stack([np.asarray(w[k]) for w in wins])
-                        for k in step_keys if k in wins[0]}
-                from stego_tpu.parallel.mesh import stacked_batch_sharding
-
-                ssh = stacked_batch_sharding(mesh)
-                if pc > 1:
-                    dev_batch = global_batch(mesh, host, sharding=ssh)
-                else:
-                    dev_batch = {k: jax.device_put(jnp.asarray(v), ssh)
+            if multi_step is not None:
+                # device-resident index schedule: draw sched_len steps of
+                # index batches from the loader and ship them in ONE
+                # transfer — a put per window pays the link's full fixed
+                # latency (~150 ms on tunneled hosts, CLAUDE.md), which
+                # measured 15x slower than the step itself. Windows AND
+                # boundary single-steps slice their rows on device.
+                if sched is None or step_idx - sched_base >= sched_len:
+                    wins = [next(batches) for _ in range(sched_len)]
+                    host = {k: np.stack([np.asarray(w[k]) for w in wins])
+                            for k in step_keys if k in wins[0]}
+                    if pc > 1:
+                        sched = global_batch(mesh, host, sharding=ssh)
+                    else:
+                        sched = {k: jax.device_put(jnp.asarray(v), ssh)
                                  for k, v in host.items()}
-                state, stacked = multi_step(feat_cache, state, dev_batch,
-                                            k_steps, step_idx)
-                n_done = k_multi
-                metrics = None
+                    sched_base = step_idx
+                off = step_idx - sched_base
+                if _window_clear(step_idx) and off + k_multi <= sched_len:
+                    state, stacked = multi_step(feat_cache, state, sched,
+                                                k_steps, step_idx, off)
+                    n_done = k_multi
+                    metrics = None
+                else:
+                    dev_batch = {k: _sched_row(v, off)
+                                 for k, v in sched.items()}
+                    hist_step = bool(cfg.hist_freq) and \
+                        (step_idx + 1) % cfg.hist_freq == 0
+                    step_fn = train_step_hist if hist_step else train_step
+                    state, metrics = step_fn(
+                        feat_cache, state, dev_batch,
+                        jax.random.fold_in(k_steps, step_idx),
+                    )
+                    n_done = 1
             else:
                 batch = next(batches)
                 batch = {k: batch[k] for k in step_keys if k in batch}
@@ -611,26 +645,28 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
             log_js = [j for j in range(n_done)
                       if (step_idx + j + 1) % cfg.scalar_log_freq == 0]
             if log_js:
+                # DEVICE values go straight to the async writer — no fetch in
+                # the hot loop (the worker thread pays the transfer latency)
                 if stacked is not None:
-                    host_m = jax.device_get(
-                        {k: v for k, v in stacked.items()
-                         if not k.startswith("hist/")})
+                    named = {k: v for k, v in stacked.items()
+                             if not k.startswith("hist/")}
                     # interior log steps get plain scalars; the window's last
                     # log step carries the rolling imgs_per_sec below
                     for j in log_js[:-1]:
                         logger.log_scalars(
                             step_idx + j + 1,
-                            {k: float(v[j]) for k, v in host_m.items()})
+                            {k: v[j] for k, v in named.items()})
                     j = log_js[-1]
-                    host = {k: float(v[j]) for k, v in host_m.items()}
+                    host = {k: v[j] for k, v in named.items()}
                 else:
-                    host = {k: float(v) for k, v in metrics.items()
+                    host = {k: v for k, v in metrics.items()
                             if not k.startswith("hist/")}
                     j = log_js[-1]
-                # rolling window so compile time doesn't pollute steady state
-                dt = time.time() - t0
-                host["imgs_per_sec"] = imgs_seen / max(dt, 1e-9)
-                t0 = time.time()
+                # raw count: the async writer converts to imgs_per_sec from
+                # fetch-completion timestamps (device progress, not the
+                # host's enqueue rate — the fetch-free loop runs far ahead).
+                # NullLogger (non-primary) ignores it.
+                host["_imgs_seen"] = float(imgs_seen)
                 imgs_seen = 0
                 logger.log_scalars(step_idx + j + 1, host)
 

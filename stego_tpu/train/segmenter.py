@@ -556,13 +556,23 @@ def make_cached_multi_step(seg: UnsupervisedSegmenter, n_steps: int,
 
     def multi_step(cache: Dict[str, Any], state: Dict[str, Any],
                    batch: Dict[str, Any], key: jax.Array,
-                   start_step: jax.Array):
+                   start_step: jax.Array, offset: jax.Array = 0):
+        """``batch`` may hold MORE than K stacked steps: ``offset`` selects
+        the window's first row on device (lax.dynamic_slice). The app ships a
+        whole schedule of index batches in ONE host->device transfer and
+        slices windows from it — per-window puts pay the link's full fixed
+        latency on tunneled hosts (~150 ms measured; CLAUDE.md) and even
+        PCIe dispatch overhead otherwise."""
+        window = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, offset, n_steps,
+                                                   axis=0), batch)
+
         def body(st, xs):
             j, sub = xs
             return single(cache, st, sub, jax.random.fold_in(key,
                                                              start_step + j))
 
-        xs = (jnp.arange(n_steps), batch)
+        xs = (jnp.arange(n_steps), window)
         return jax.lax.scan(body, state, xs)
 
     return multi_step
