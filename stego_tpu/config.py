@@ -189,7 +189,15 @@ class Config:
     # image-free losses; the step math is identical to the uncached path.
     cache_backbone_feats: bool = False
     # refuse to build a feature cache larger than this many GiB of HBM
+    # (PER DEVICE: a sharded cache divides its footprint by the mesh size)
     feat_cache_max_gb: float = 12.0
+    # row-shard the feature cache over the data mesh instead of replicating
+    # it: capacity scales with the mesh (d x feat_cache_max_gb) and each
+    # step's gathers become an embedding-lookup-style
+    # all_gather(indices) + reduce_scatter(rows) over ICI
+    # (parallel/mesh.py:sharded_row_take). Identical numerics to the
+    # replicated cache.
+    feat_cache_sharded: bool = False
     # cached mode only: run this many train steps per device dispatch
     # (lax.scan over stacked index batches — segmenter.make_cached_multi_step).
     # Amortizes host->device dispatch latency; step semantics, key sequence,

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -88,6 +89,48 @@ def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
     batch sharded over the data axis (multi-step dispatch,
     train/segmenter.py:make_cached_multi_step)."""
     return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def sharded_row_take(arr, ind, mesh: Mesh):
+    """Gather rows of a ROW-SHARDED array by global indices (embedding-lookup
+    pattern).
+
+    ``arr`` (N, ...) lives block-distributed over the ``data`` axis (device k
+    owns rows [k·N/d, (k+1)·N/d)); ``ind`` (B,) int32 is batch-sharded. Each
+    device all-gathers the tiny index vector, serves the rows it owns (zeros
+    elsewhere), and a reduce-scatter sums the single owner's contribution
+    into the batch-sharded result — the standard sharded-embedding-table
+    gather, riding ICI. Out-of-range indices (e.g. -1 validation padding)
+    produce zero rows. N must be divisible by the mesh size (the cache
+    builder pads).
+
+    Cost per call ≈ one (B, ...) reduce-scatter; for the train footprint's
+    feature rows that is a few MB over ICI — noise next to the step. The
+    payoff: cache capacity scales with the mesh (a replicated cache is
+    capped by ONE device's HBM).
+    """
+    if mesh is None or mesh.devices.size <= 1:
+        # degenerate case: a plain clipped take (negative padding indices
+        # yield row 0; downstream label masking ignores those pixels exactly
+        # as in the replicated path)
+        return jnp.take(arr, jnp.maximum(ind, 0), axis=0)
+
+    def body(a_local, ind_local):
+        idx_all = jax.lax.all_gather(ind_local, DATA_AXIS, tiled=True)
+        k = jax.lax.axis_index(DATA_AXIS)
+        rows = a_local.shape[0]
+        local_idx = idx_all - k * rows
+        own = (local_idx >= 0) & (local_idx < rows)
+        safe = jnp.clip(local_idx, 0, rows - 1)
+        vals = jnp.take(a_local, safe, axis=0)
+        own = own.reshape((-1,) + (1,) * (vals.ndim - 1))
+        vals = jnp.where(own, vals, jnp.zeros((), vals.dtype))
+        return jax.lax.psum_scatter(vals, DATA_AXIS, scatter_dimension=0,
+                                    tiled=True)
+
+    spec = P(DATA_AXIS)
+    return jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=spec, check_vma=False)(arr, ind)
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

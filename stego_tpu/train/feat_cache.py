@@ -76,11 +76,13 @@ def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
                      with_mask: bool | None = None) -> Dict[str, Any]:
     """One backbone pass over the (deterministic) base dataset.
 
-    Returns a dict of replicated device arrays indexed by base-dataset index:
+    Returns a dict of device arrays indexed by base-dataset index:
     ``feats`` (N, H/p, W/p, C) in the trunk dtype, ``label`` (N, res, res)
-    int16, and ``mask`` (N, res, res) float16 when ``use_salience``. The
-    replication means ``jnp.take`` with batch-sharded indices needs no
-    collectives on any mesh.
+    int16, and ``mask`` (N, res, res) float16 when ``use_salience``.
+    Replicated by default (``jnp.take`` with batch-sharded indices needs no
+    collectives); with ``feat_cache_sharded=true`` rows are block-distributed
+    over the data axis (capacity × mesh size) and the steps gather via
+    :func:`stego_tpu.parallel.mesh.sharded_row_take`.
 
     ``res``/``with_mask`` override the train-split defaults — the validation
     cache is built at ``cfg.val_res`` and never needs salience masks.
@@ -89,18 +91,25 @@ def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
     base = contrastive_ds.dataset
     n = len(base)
     want_mask = cfg.use_salience if with_mask is None else with_mask
-    est = estimate_cache_gb(cfg, seg, n, res=res, with_mask=want_mask)
-    if est > cfg.feat_cache_max_gb:
-        raise ValueError(
-            f"feature cache for {n} items would need ~{est:.1f} GiB "
-            f"(> feat_cache_max_gb={cfg.feat_cache_max_gb}); this dataset is "
-            "too large for device residency — raise the cap if HBM allows, "
-            "or train without cache_backbone_feats")
-
     d = mesh.devices.size
+    est = estimate_cache_gb(cfg, seg, n, res=res, with_mask=want_mask)
+    per_device = est / d if cfg.feat_cache_sharded else est
+    if per_device > cfg.feat_cache_max_gb:
+        hint = ("raise the cap if HBM allows, or train without "
+                "cache_backbone_feats")
+        if not cfg.feat_cache_sharded and d > 1:
+            hint = ("set feat_cache_sharded=true to row-shard it over the "
+                    f"{d}-device mesh (~{est / d:.1f} GiB/device), " + hint)
+        raise ValueError(
+            f"feature cache for {n} items would need ~{per_device:.1f} GiB "
+            f"per device (> feat_cache_max_gb={cfg.feat_cache_max_gb}); "
+            + hint)
+
     b = batch_size or max(cfg.batch_size, d)
     b = -(-b // d) * d  # divisible by the mesh for batch-sharded puts
     bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    if cfg.feat_cache_sharded:
+        rs = bs  # rows block-distributed over the data axis
     fwd = jax.jit(seg.net.backbone_features)
 
     feat_parts, labels, masks = [], [], []
@@ -119,12 +128,21 @@ def build_feat_cache(seg, backbone: Dict, contrastive_ds, cfg: Config,
             f = f[:len(items)]
         feat_parts.append(f)
 
+    def put(a):
+        if cfg.feat_cache_sharded and a.shape[0] % d:
+            # block distribution needs N % d == 0; sampler indices never
+            # reference the zero-padded tail rows
+            pad = d - a.shape[0] % d
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return jax.device_put(a, rs)
+
     cache = {
-        "feats": jax.device_put(jnp.concatenate(feat_parts, axis=0), rs),
-        "label": jax.device_put(jnp.asarray(np.concatenate(labels)), rs),
+        "feats": put(jnp.concatenate(feat_parts, axis=0)),
+        "label": put(jnp.asarray(np.concatenate(labels))),
     }
     if want_mask:
-        cache["mask"] = jax.device_put(jnp.asarray(np.concatenate(masks)), rs)
+        cache["mask"] = put(jnp.asarray(np.concatenate(masks)))
     return cache
 
 

@@ -505,8 +505,14 @@ def make_cached_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
         ks = _split_step_keys(key)
         ind = batch["ind"]
 
-        def take(a, i):
-            return jnp.take(a, i, axis=0)
+        if cfg.feat_cache_sharded:
+            from stego_tpu.parallel.mesh import sharded_row_take
+
+            def take(a, i):
+                return sharded_row_take(a, i, seg.mesh)
+        else:
+            def take(a, i):
+                return jnp.take(a, i, axis=0)
 
         image_feat = jax.tree.map(lambda a: take(a, ind), cache["feats"])
         sub: Dict[str, Any] = {
@@ -594,15 +600,23 @@ def make_cached_val_step(seg: UnsupervisedSegmenter):
     nc = seg.n_classes
     extra = seg.cfg.extra_clusters
 
+    cfg = seg.cfg
+
     def val_step(cache: Dict[str, Any], params: Params,
                  batch: Dict[str, Any]):
         from stego_tpu.ops.probe_ce import upsampled_argmax
 
         ind = batch["ind"]
-        safe = jnp.maximum(ind, 0)
-        image_feat = jax.tree.map(lambda a: jnp.take(a, safe, axis=0),
-                                  cache["feats"])
-        label = jnp.take(cache["label"], safe, axis=0).astype(jnp.int32)
+        if cfg.feat_cache_sharded:
+            from stego_tpu.parallel.mesh import sharded_row_take
+
+            def take(a, i):
+                return sharded_row_take(a, i, seg.mesh)
+        else:
+            def take(a, i):
+                return jnp.take(a, jnp.maximum(i, 0), axis=0)
+        image_feat = jax.tree.map(lambda a: take(a, ind), cache["feats"])
+        label = take(cache["label"], ind).astype(jnp.int32)
         label = jnp.where((ind >= 0)[:, None, None], label, -1)
         code = seg.net.head_code(params["head"], image_feat, train=False)
 

@@ -163,6 +163,56 @@ def test_cached_step_sharded_matches_single_device(cpu_devices):
         rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_cache_matches_replicated(cpu_devices):
+    """feat_cache_sharded=true (rows block-distributed over the mesh,
+    gathers via all_gather+reduce_scatter) must reproduce the replicated
+    cache exactly — train metrics/params and val confusion matrices,
+    including -1 index padding and a row count that needs padding (12 % 8)."""
+    from stego_tpu.train.segmenter import make_cached_val_step
+
+    mesh = make_mesh()
+    cfg, seg, backbone, state = tiny_setup()
+    cfg_s = cfg.replace(feat_cache_sharded=True)
+    seg_r = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=TINY_VIT,
+                                  mesh=mesh)
+    seg_s = UnsupervisedSegmenter(n_classes=3, cfg=cfg_s, vit_cfg=TINY_VIT,
+                                  mesh=mesh)
+    ds = _FakeContrastive()
+    cache_r = build_feat_cache(seg_r, backbone, ds, cfg, mesh)
+    cache_s = build_feat_cache(seg_s, backbone, ds, cfg_s, mesh)
+    assert cache_s["feats"].shape[0] == 16  # padded 12 -> multiple of 8
+
+    bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
+    state8 = jax.tree.map(lambda a: jax.device_put(a, rs), state)
+    batch = {"ind": jax.device_put(
+                 jnp.asarray([3, 0, 7, 5, 11, 2, 9, 4], jnp.int32), bs),
+             "ind_pos": jax.device_put(
+                 jnp.asarray([1, 6, 2, 8, 0, 10, 3, 7], jnp.int32), bs)}
+    key = jr.PRNGKey(42)
+    s_r, m_r = jax.jit(make_cached_train_step(seg_r))(cache_r, state8, batch,
+                                                      key)
+    s_s, m_s = jax.jit(make_cached_train_step(seg_s))(cache_s, state8, batch,
+                                                      key)
+    for k in m_r:
+        if k.startswith("hist/"):
+            continue
+        np.testing.assert_allclose(np.asarray(m_r[k]), np.asarray(m_s[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(s_r["params"]["head"]["cluster1"]["kernel"]),
+        np.asarray(s_s["params"]["head"]["cluster1"]["kernel"]),
+        rtol=1e-5, atol=1e-6)
+
+    vb = {"ind": jax.device_put(
+        jnp.asarray([4, 6, 11, 0, -1, -1, -1, -1], jnp.int32), bs)}
+    out_r = jax.jit(make_cached_val_step(seg_r))(cache_r, state8["params"], vb)
+    out_s = jax.jit(make_cached_val_step(seg_s))(cache_s, state8["params"], vb)
+    np.testing.assert_array_equal(np.asarray(out_r["conf_linear"]),
+                                  np.asarray(out_s["conf_linear"]))
+    np.testing.assert_array_equal(np.asarray(out_r["conf_cluster"]),
+                                  np.asarray(out_s["conf_cluster"]))
+
+
 def test_multi_step_matches_single_steps():
     """A K-step window (make_cached_multi_step) must be bitwise-equivalent to
     K single dispatches: same fold_in(key, step) sequence, same state chain,
