@@ -261,6 +261,8 @@ def evaluate(
     saved: Dict[str, list] = {"img": [], "label": [], "cluster": [],
                               "linear": [], "picie": []}
     n_keep = eval_cfg.n_images
+    conf_sums = None  # device-resident epoch accumulators (fetched ONCE —
+    # a per-batch np.asarray(conf) is a ~30 ms round trip on tunneled hosts)
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
@@ -292,9 +294,10 @@ def evaluate(
         else:
             linear_preds, cluster_preds, conf_l, conf_c = eval_step(
                 backbone, params, img, label)
-            # replicated global conf matrices (implicit psum over the mesh)
-            linear_metrics.merge_stats(np.asarray(conf_l))
-            cluster_metrics.merge_stats(np.asarray(conf_c))
+            # replicated global conf matrices (implicit psum over the mesh),
+            # accumulated on device across batches
+            conf_sums = ((conf_l, conf_c) if conf_sums is None
+                         else (conf_sums[0] + conf_l, conf_sums[1] + conf_c))
         if pc == 1 and len(saved["img"]) < n_keep:
             take = min(n_keep - len(saved["img"]), len(batch["img"]))
             saved["img"].extend(np.asarray(batch["img"][:take]))
@@ -311,6 +314,9 @@ def evaluate(
                         jnp.asarray(ppreds[..., None], jnp.float32),
                         label.shape[1:3], "nearest"))[..., 0].astype(np.int64))
 
+    if conf_sums is not None:
+        linear_metrics.merge_stats(np.asarray(conf_sums[0]))
+        cluster_metrics.merge_stats(np.asarray(conf_sums[1]))
     metrics = {**linear_metrics.compute(), **cluster_metrics.compute()}
     print(model_path)
     print(metrics)

@@ -248,6 +248,8 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
         val_iter = []
     else:
         val_iter = val_loader
+    conf_sums = None  # device-resident epoch accumulators: fetch ONCE per
+    # epoch instead of one ~30 ms round trip per batch (CLAUDE.md)
     for batch in val_iter:
         batch = _pad_batch(batch, batch_size)
         from stego_tpu.data.loader import compact_batch
@@ -271,8 +273,10 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
                 dev = {k: jax.device_put(jnp.asarray(v), bs)
                        for k, v in host.items()}
             out = val_step(backbone, params, dev)
-        linear_metrics.merge_stats(np.asarray(out["conf_linear"]))
-        cluster_metrics.merge_stats(np.asarray(out["conf_cluster"]))
+        conf_sums = ((out["conf_linear"], out["conf_cluster"])
+                     if conf_sums is None
+                     else (conf_sums[0] + out["conf_linear"],
+                           conf_sums[1] + out["conf_cluster"]))
         if panel is None and figure_prefix is not None:
             if val_cache is not None:
                 # decode just the panel images from the base val dataset
@@ -290,6 +294,9 @@ def run_validation(seg, val_step, backbone, params, val_loader, mesh,
                 "linear": np.asarray(out["linear_preds"][:n]),
                 "cluster": np.asarray(out["cluster_preds"][:n]),
             }
+    if conf_sums is not None:
+        linear_metrics.merge_stats(np.asarray(conf_sums[0]))
+        cluster_metrics.merge_stats(np.asarray(conf_sums[1]))
     metrics = {**linear_metrics.compute(), **cluster_metrics.compute()}
     if panel is not None:
         from stego_tpu.data.colormaps import colormap_for_dataset
