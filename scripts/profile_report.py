@@ -13,6 +13,13 @@ fusions), so "where does the step go" is answerable without TensorBoard.
 Requires the protobuf pure-python fallback for tensorflow's bundled protos:
 the script re-execs itself with PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python
 when needed.
+
+CAVEAT (measured): per-op durations in these captures are IN-FLIGHT SPANS,
+not exclusive execution time — the batch-8 step's op-times summed to 19.4 ms
+against a 10.1 ms wall, and a layernorm the trace charged 0.167 ms measured
+~5 µs in a dependency-chained microbench. Use the per-program ms/exec line
+for wall truth and the op table for RELATIVE structure; confirm any
+single-op conclusion with an in-graph microbench delta (CLAUDE.md).
 """
 
 import collections
