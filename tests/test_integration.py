@@ -173,3 +173,15 @@ def test_end_to_end_feat_cache_matches_uncached(data_root, tmp_path):
 
     steps = [json.loads(line)["step"] for line in open(log_file)]
     assert {1, 2, 3, 4}.issubset(set(steps))
+
+    # hist steps force the single-step hist variant out of the window
+    # (windows never contain a hist step; _window_clear): a run whose
+    # hist_freq collides with the window stride must still match
+    cfg_h = make_cfg(data_root, tmp_path, experiment_name="fc_multi_hist",
+                     max_steps=4, val_freq=4, checkpoint_freq=4,
+                     cache_backbone_feats=True, steps_per_dispatch=2,
+                     hist_freq=3)
+    h_metrics = train(cfg_h, vit_cfg=TINY_VIT)
+    for k in fc_metrics:
+        assert abs(fc_metrics[k] - h_metrics[k]) < 1e-6, (
+            k, fc_metrics[k], h_metrics[k])
