@@ -140,10 +140,31 @@ def _attention(
     attention matrix (ops/flash_attention.py)."""
     b, n, d = x.shape
     hd = d // num_heads
-    qkv = x @ p["qkv_kernel"].astype(x.dtype) + p["qkv_bias"].astype(x.dtype)
     scale = hd**-0.5
-    qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
+    if want_qkv:
+        # the packed (3, B, H, N, hd) tensor is itself a return value
+        # (dino_feat_type="KK" consumers; reference vision_transformer.py:86)
+        qkv = x @ p["qkv_kernel"].astype(x.dtype) + p["qkv_bias"].astype(
+            x.dtype)
+        qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, hd)
+    else:
+        # three separate projections: same math as the packed matmul, but
+        # each (B, N, H, hd) -> (B, H, N, hd) transpose folds into its dot's
+        # output layout instead of slicing a packed 3-way tensor. Measured
+        # per layer on v5e: 1.88 -> 1.57 ms at trunk batch 32 (the packed
+        # unpack degrades further at batch 64: XLA emits a
+        # slice_bitcast_fusion at ~4x the copy's per-image cost).
+        wk = p["qkv_kernel"].astype(x.dtype)
+        bk = p["qkv_bias"].astype(x.dtype)
+        qkv = None
+
+        def _proj(i):
+            y = (x @ wk[:, i * d:(i + 1) * d])
+            y = y.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+            return y + bk[i * d:(i + 1) * d].reshape(num_heads, 1, hd)
+
+        q, k, v = _proj(0), _proj(1), _proj(2)
     out = None
     if use_flash and not want_qkv:
         from stego_tpu.ops.flash_attention import trunk_attention
