@@ -128,6 +128,23 @@ def _layer_norm(p: Dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+# Kill switch for the Pallas block layernorm (scripts/bench_ln.py A/B).
+FUSED_LN = True
+
+
+def _block_ln(p: Dict, x: jnp.ndarray, eps: float, use_flash: bool,
+              mesh=None) -> jnp.ndarray:
+    """Block layernorm: single-pass Pallas kernel on the unrolled bf16
+    trunk (measured 0.064 vs 0.158 ms per LN at (32, 785, 384) on v5e,
+    bit-identical output — scripts/bench_ln.py); pure XLA everywhere else
+    (f32 oracle parity, scanned trunks, portable jax.export artifacts)."""
+    if use_flash and FUSED_LN and x.dtype == jnp.bfloat16:
+        from stego_tpu.ops.layer_norm import fused_layer_norm
+
+        return fused_layer_norm(x, p["scale"], p["bias"], eps, mesh=mesh)
+    return _layer_norm(p, x, eps)
+
+
 def _attention(
     p: Dict, x: jnp.ndarray, num_heads: int, want_qkv: bool,
     use_flash: bool = False, mesh=None,
@@ -193,11 +210,11 @@ def _block(
     """Pre-LN transformer block (reference Block.forward,
     vision_transformer.py:106-114). DropPath is identity: DINO eval / frozen
     backbone never enables stochastic depth."""
-    y, attn, qkv = _attention(p["attn"], _layer_norm(p["norm1"], x, cfg.ln_eps),
-                              cfg.num_heads, want_qkv, use_flash=use_flash,
-                              mesh=mesh)
+    y, attn, qkv = _attention(
+        p["attn"], _block_ln(p["norm1"], x, cfg.ln_eps, use_flash, mesh),
+        cfg.num_heads, want_qkv, use_flash=use_flash, mesh=mesh)
     x = x + y
-    h = _layer_norm(p["norm2"], x, cfg.ln_eps)
+    h = _block_ln(p["norm2"], x, cfg.ln_eps, use_flash, mesh)
     h = h @ p["mlp"]["fc1_kernel"].astype(x.dtype) + p["mlp"]["fc1_bias"].astype(x.dtype)
     # erf-exact GELU costs ~0.6 ms/layer on the VPU at this width (measured:
     # 12.75 vs 5.54 ms for the 12-layer MLP chain); the tanh approximation's

@@ -39,7 +39,8 @@ def make_mesh(num_devices: int = 0, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
-def shard_kernel(fn, mesh: Optional[Mesh], n_in: int, n_out: int = 1):
+def shard_kernel(fn, mesh: Optional[Mesh], n_in: int, n_out: int = 1,
+                 n_rep: int = 0):
     """Run a batch-parallel Pallas kernel per shard of a >1-device mesh.
 
     GSPMD cannot auto-partition Mosaic (Pallas) custom calls, but every
@@ -54,17 +55,21 @@ def shard_kernel(fn, mesh: Optional[Mesh], n_in: int, n_out: int = 1):
 
     ``fn`` must derive all shapes from its array arguments (it is traced with
     per-shard shapes). With no mesh (or one device) ``fn`` is returned as-is.
+    The last ``n_rep`` arguments are replicated (whole array on every device)
+    rather than batch-sharded — used for small traced parameters (e.g. the
+    layernorm scale/bias) that shard_map cannot capture by closure.
     """
     if mesh is None or mesh.devices.size <= 1:
         return fn
     d = mesh.devices.size
     spec = P(DATA_AXIS)
     out_specs = spec if n_out == 1 else tuple([spec] * n_out)
-    sharded = jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * n_in,
+    in_specs = (spec,) * n_in + (P(),) * n_rep
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs, check_vma=False)
 
     def wrapped(*args):
-        for a in args:
+        for a in args[:n_in]:
             if a.shape[0] % d:
                 raise ValueError(
                     f"kernel batch dim {a.shape[0]} not divisible by mesh "
