@@ -215,16 +215,19 @@ def _block(
         cfg.num_heads, want_qkv, use_flash=use_flash, mesh=mesh)
     x = x + y
     h = _block_ln(p["norm2"], x, cfg.ln_eps, use_flash, mesh)
-    h = h @ p["mlp"]["fc1_kernel"].astype(x.dtype) + p["mlp"]["fc1_bias"].astype(x.dtype)
-    # erf-exact GELU costs ~0.6 ms/layer on the VPU at this width (measured:
-    # 12.75 vs 5.54 ms for the 12-layer MLP chain); the tanh approximation's
-    # max error (~1e-3) is below bf16 quantization noise, so bf16 trunks use
-    # it. f32 trunks keep the exact erf for torch-oracle parity
-    # (reference vision_transformer.py nn.GELU).
-    h = jax.nn.gelu(h, approximate=(x.dtype == jnp.bfloat16))
-    h = h @ p["mlp"]["fc2_kernel"].astype(x.dtype) + p["mlp"]["fc2_bias"].astype(x.dtype)
-    x = x + h
+    x = x + _mlp(p["mlp"], h)
     return x, attn, qkv
+
+
+def _mlp(p: Dict, h: jnp.ndarray) -> jnp.ndarray:
+    """fc1 -> GELU -> fc2 (no residual). erf-exact GELU costs ~0.6 ms/layer
+    on the VPU at this width (measured: 12.75 vs 5.54 ms for the 12-layer
+    MLP chain); the tanh approximation's max error (~1e-3) is below bf16
+    quantization noise, so bf16 trunks use it. f32 trunks keep the exact erf
+    for torch-oracle parity (reference vision_transformer.py nn.GELU)."""
+    h = h @ p["fc1_kernel"].astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
+    h = jax.nn.gelu(h, approximate=(h.dtype == jnp.bfloat16))
+    return h @ p["fc2_kernel"].astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
 
 
 def interpolate_pos_encoding(

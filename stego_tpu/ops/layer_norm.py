@@ -69,6 +69,108 @@ def _ln_forward(x2: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     return out[:r] if r_pad != r else out
 
 
+def _add_ln_kernel(x_ref, y_ref, g_ref, b_ref, r_ref, o_ref, *, eps: float):
+    xf = x_ref[...].astype(jnp.float32)
+    yf = y_ref[...].astype(jnp.float32)
+    r16 = (xf + yf).astype(r_ref.dtype)
+    r_ref[...] = r16
+    # LN reads the ROUNDED sum so the result is bit-identical to the
+    # sequential XLA form (bf16 add, then f32-stats layernorm).
+    x = r16.astype(jnp.float32)
+    d = x.shape[1]
+    mean = jnp.sum(x, axis=1, keepdims=True) * (1.0 / d)
+    xc = x - mean
+    var = jnp.sum(xc * xc, axis=1, keepdims=True) * (1.0 / d)
+    y = xc * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _add_ln_forward(x2, y2, scale, bias, eps, interpret, out_dtype):
+    r, d = x2.shape
+    r_pad = -(-r // TR) * TR
+    if r_pad != r:
+        x2 = jnp.pad(x2, ((0, r_pad - r), (0, 0)))
+        y2 = jnp.pad(y2, ((0, r_pad - r), (0, 0)))
+    res, out = pl.pallas_call(
+        functools.partial(_add_ln_kernel, eps=eps),
+        grid=(r_pad // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TR, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r_pad, d), x2.dtype),
+            jax.ShapeDtypeStruct((r_pad, d), out_dtype),
+        ],
+        interpret=interpret,
+    )(x2, y2, scale.reshape(1, d), bias.reshape(1, d))
+    if r_pad != r:
+        res, out = res[:r], out[:r]
+    return res, out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _add_ln(x2, y2, scale, bias, eps, interpret, out_dtype):
+    return _add_ln_forward(x2, y2, scale, bias, eps, interpret, out_dtype)
+
+
+def _add_ln_fwd(x2, y2, scale, bias, eps, interpret, out_dtype):
+    r, o = _add_ln_forward(x2, y2, scale, bias, eps, interpret, out_dtype)
+    return (r, o), (r, scale)
+
+
+def _add_ln_bwd(eps, interpret, out_dtype, res, cts):
+    r, scale = res
+    dr_in, do = cts
+    dx_ln, dg, db = _ln_bwd(eps, interpret, (r, scale), do)
+    dr = dr_in.astype(jnp.float32) + dx_ln.astype(jnp.float32)
+    return dr.astype(r.dtype), dr.astype(r.dtype), dg, db
+
+
+_add_ln.defvjp(_add_ln_fwd, _add_ln_bwd)
+
+
+def add_layer_norm(
+    x: jnp.ndarray, y: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+    eps: float, interpret: bool | None = None, mesh=None,
+    out_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused residual-add + LayerNorm: returns ``(x + y, LN(x + y))``.
+
+    Bit-identical to the sequential form (the sum is rounded to x.dtype
+    before the f32 statistics). **Kept un-dispatched**: the profiler showed
+    ~0.31 ms ``add_add`` fusions per residual at (32, 785, 384) bf16, but
+    those spans are in-flight time overlapped with the Pallas attention
+    calls, not exclusive cost (the xplane caveat, CLAUDE.md) — wiring this
+    into the unrolled trunk measured 17.30 ms fwd b=32 vs 16.81 ms for the
+    plain :func:`fused_layer_norm` form (the extra output write and second
+    input read outweigh the add it absorbs). May win on chips with more
+    HBM headroom; measure before dispatching.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    shape = x.shape
+    d = shape[-1]
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+
+    def run(x2, y2, scale, bias):
+        return _add_ln(x2, y2, scale, bias, float(eps), bool(interpret),
+                       out_dtype)
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    r, o = shard_kernel(run, mesh, 2, n_out=2, n_rep=2)(
+        x.reshape(-1, d), y.reshape(-1, d), scale, bias)
+    return r.reshape(shape), o.reshape(shape)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _ln(x2, scale, bias, eps, interpret):
     return _ln_forward(x2, scale, bias, eps, interpret)

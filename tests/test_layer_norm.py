@@ -62,6 +62,38 @@ def test_fused_ln_grad_matches_xla():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_add_layer_norm_matches_sequential():
+    # un-dispatched kernel (measured non-win on v5e — see its docstring);
+    # parity is pinned so it stays correct if a future chip flips the call
+    from stego_tpu.ops.layer_norm import add_layer_norm
+
+    x, scale, bias = _inputs(jr.PRNGKey(7), shape=(2, 21, 40))
+    y = jr.normal(jr.PRNGKey(8), x.shape, jnp.float32).astype(x.dtype)
+    r_ref = x + y
+    o_ref = _layer_norm({"scale": scale, "bias": bias}, r_ref, EPS)
+    r, o = add_layer_norm(x, y, scale, bias, EPS, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r, np.float32),
+                                  np.asarray(r_ref, np.float32))
+    np.testing.assert_array_equal(np.asarray(o, np.float32),
+                                  np.asarray(o_ref, np.float32))
+
+    def loss_seq(x, y, s, b):
+        r = x + y
+        return jnp.sum(jnp.cos(_layer_norm({"scale": s, "bias": b}, r, EPS))
+                       + r * 0.25)
+
+    def loss_fused(x, y, s, b):
+        r, o = add_layer_norm(x, y, s, b, EPS, interpret=True)
+        return jnp.sum(jnp.cos(o) + r * 0.25)
+
+    xf, yf = x.astype(jnp.float32), y.astype(jnp.float32)
+    g_ref = jax.grad(loss_seq, argnums=(0, 1, 2, 3))(xf, yf, scale, bias)
+    g_got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xf, yf, scale, bias)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fused_ln_sharded_matches_single(cpu_devices):
     mesh = make_mesh()
     x, scale, bias = _inputs(jr.PRNGKey(5), shape=(8, 13, 64))
