@@ -330,7 +330,10 @@ def vit_get_intermediate_feat(
         blk = jax.tree.map(lambda a, i=i: a[i], params["blocks"])
         x, attn, qkv = _block(blk, x, cfg, want_qkv=want_attn_qkv,
                               use_flash=use_flash, mesh=mesh)
-        feats.append(_layer_norm(params["norm"], x, cfg.ln_eps).astype(jnp.float32))
+        # _block_ln (kernel on the bf16 flash path) rounds to x.dtype before
+        # the f32 cast exactly like the XLA form did, so this is bit-stable.
+        feats.append(_block_ln(params["norm"], x, cfg.ln_eps, use_flash,
+                               mesh).astype(jnp.float32))
         attns.append(attn)
         qkvs.append(qkv)
     return feats, attns, qkvs
