@@ -129,6 +129,8 @@ def _layer_norm(p: Dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 # Kill switch for the Pallas block layernorm (scripts/bench_ln.py A/B).
+# Read at TRACE time: flipping it affects only functions jitted afterwards —
+# an already-compiled train step keeps whichever form it was traced with.
 FUSED_LN = True
 
 

@@ -156,6 +156,9 @@ def add_layer_norm(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    # the VJP returns both cotangents in x.dtype; a mixed-dtype y would get
+    # a wrong-dtype cotangent and custom_vjp would reject it
+    assert x.dtype == y.dtype, (x.dtype, y.dtype)
     shape = x.shape
     d = shape[-1]
     out_dtype = x.dtype if out_dtype is None else out_dtype
@@ -194,10 +197,8 @@ def _ln_bwd(eps, interpret, res, dy):
     dg = jnp.sum(dyf * xhat, axis=0).astype(scale.dtype)
     db = jnp.sum(dyf, axis=0).astype(scale.dtype)
     dxhat = dyf * scale.astype(jnp.float32)
-    d = x2.shape[1]
     dx = inv * (dxhat - jnp.mean(dxhat, axis=1, keepdims=True)
                 - xhat * jnp.mean(dxhat * xhat, axis=1, keepdims=True))
-    del d
     return dx.astype(x2.dtype), dg, db
 
 

@@ -105,7 +105,28 @@ def test_fused_ln_sharded_matches_single(cpu_devices):
                                   np.asarray(ref, np.float32))
 
 
-def test_bf16_flash_trunk_uses_fused_ln_and_matches():
+def test_fused_ln_sharded_grad_matches_single(cpu_devices):
+    # the custom VJP through the n_rep-replicated scale/bias under shard_map
+    # must psum dg/db over the mesh — a missing reduction shows up here
+    mesh = make_mesh()
+    x, scale, bias = _inputs(jr.PRNGKey(6), shape=(8, 13, 64),
+                             dtype=jnp.float32)
+
+    def loss(x, s, b, m):
+        y = fused_layer_norm(x, s, b, EPS, interpret=True, mesh=m)
+        return jnp.sum(jnp.sin(y))
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias, None)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    g_got = jax.jit(jax.grad(
+        lambda x, s, b: loss(x, s, b, mesh), argnums=(0, 1, 2)))(
+        xs, scale, bias)
+    for a, b_ in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_flash_trunk_uses_fused_ln_and_matches(monkeypatch):
     """use_flash bf16 trunk (the dispatch that routes to the kernel) equals
     the einsum/XLA trunk to bf16 tolerance."""
     import stego_tpu.models.vit as V
@@ -122,10 +143,7 @@ def test_bf16_flash_trunk_uses_fused_ln_and_matches():
     np.testing.assert_allclose(np.asarray(f_fus[0]), np.asarray(f_ref[0]),
                                rtol=2e-2, atol=2e-2)
     # and with the kill switch the two flash trunks agree exactly
-    try:
-        V.FUSED_LN = False
-        f_off, _, _ = vit_get_intermediate_feat(
-            params, img, cfg, dtype=jnp.bfloat16, use_flash=True)
-    finally:
-        V.FUSED_LN = True
+    monkeypatch.setattr(V, "FUSED_LN", False)
+    f_off, _, _ = vit_get_intermediate_feat(
+        params, img, cfg, dtype=jnp.bfloat16, use_flash=True)
     np.testing.assert_array_equal(np.asarray(f_fus[0]), np.asarray(f_off[0]))
