@@ -238,6 +238,66 @@ def main():
                 k_dt = min(k_dt, (time.perf_counter() - t0) / (12 * K))
             extra["feat_cached_k16_imgs_per_sec"] = round(
                 BATCH / k_dt / n_dev, 1)
+
+            # the reference's headline user journey (eval_segmentation.py:
+            # 119-155): res-320 flip-TTA eval with both probes + device
+            # confusion matrices, batch 8
+            from stego_tpu.eval.evaluate import make_eval_step
+
+            EB, ERES = 8, 320
+            ke = jax.random.fold_in(key, 11)
+            eimg = jax.device_put(jax.random.normal(
+                ke, (EB, ERES, ERES, 3), jnp.float32), bsh)
+            elab = jax.device_put(jax.random.randint(
+                jax.random.fold_in(ke, 1), (EB, ERES, ERES), -1, 27), bsh)
+            estep = jax.jit(make_eval_step(seg, run_crf=False,
+                                           with_conf=True))
+            for _ in range(12):
+                eouts = estep(backbone, state["params"], eimg, elab)
+            float(jnp.sum(eouts[2]))
+            e_dt = float("inf")
+            for r in range(ROUNDS):
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    eouts = estep(backbone, state["params"], eimg, elab)
+                float(jnp.sum(eouts[2]))
+                e_dt = min(e_dt, (time.perf_counter() - t0) / 20)
+            extra["eval_res320_tta_imgs_per_sec"] = round(EB / e_dt / n_dev, 1)
+
+            # on-device mean-field CRF (reference crf.py:13-45 params),
+            # res-320 images, 27 classes, 10 iterations
+            from stego_tpu.ops.crf import dense_crf
+
+            img01 = jax.device_put(jax.random.uniform(
+                jax.random.fold_in(ke, 2), (EB, ERES, ERES, 3)), bsh)
+            clogits = jax.device_put(jax.random.normal(
+                jax.random.fold_in(ke, 3), (EB, 40, 40, 27)), bsh)
+            for _ in range(8):
+                cprobs = dense_crf(img01, clogits)
+            float(jnp.sum(cprobs[:, 0, 0]))
+            cr_dt = float("inf")
+            for r in range(ROUNDS):
+                t0 = time.perf_counter()
+                for _ in range(10):
+                    cprobs = dense_crf(img01, clogits)
+                float(jnp.sum(cprobs[:, 0, 0]))
+                cr_dt = min(cr_dt, (time.perf_counter() - t0) / 10)
+            extra["crf_device_ms_per_img"] = round(cr_dt / EB * 1e3, 2)
+
+            # exact host CRF (native permutohedral lattice, the
+            # pydensecrf-equivalent backend) — single-core host path
+            import numpy as np
+
+            from stego_tpu.ops.crf_exact import dense_crf_exact
+
+            h_img = np.asarray(jax.device_get(img01[0]))
+            h_log = np.asarray(jax.device_get(clogits[0]))
+            dense_crf_exact(h_img, h_log)  # warm (lattice build paths)
+            t0 = time.perf_counter()
+            for _ in range(2):
+                dense_crf_exact(h_img, h_log)
+            extra["crf_exact_host_ms_per_img"] = round(
+                (time.perf_counter() - t0) / 2 * 1e3, 1)
         except Exception as e:  # secondary metrics must never break the bench
             extra["extra_error"] = str(e)[:120]
 

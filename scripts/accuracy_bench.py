@@ -57,6 +57,24 @@ def main(argv=None):
         **{k: round(float(v), 2) for k, v in metrics.items()},
     }))
 
+    # Hard regression bands at the default footprint: ~15% below the pinned
+    # chip measurement (BASELINE.md, v5e, seed 0, 300 steps, res 96,
+    # 2026-08-17: linear mIoU 10.51 / Acc 29.27, cluster mIoU 7.56 /
+    # Acc 30.25). Non-default footprints print only.
+    if steps == 300 and res == 96:
+        bands = {
+            "test/linear/mIoU": 8.9,
+            "test/linear/Accuracy": 24.9,
+            "test/cluster/mIoU": 6.4,
+            "test/cluster/Accuracy": 25.7,
+        }
+        failed = {k: (round(float(metrics[k]), 2), v)
+                  for k, v in bands.items() if float(metrics[k]) < v}
+        if failed:
+            raise SystemExit(
+                f"ACCURACY REGRESSION vs BASELINE.md bands: {failed}")
+        print(json.dumps({"accuracy_gate": "pass", "bands": bands}))
+
 
 if __name__ == "__main__":
     main()

@@ -2,13 +2,17 @@
 """On-hardware parity + throughput check for the Pallas kernels.
 
 The pytest suite runs kernels in interpreter mode on CPU; this script runs the
-COMPILED kernels on the real chip and compares against the einsum oracles,
-then reports steady-state timings (multi-round — the remote platform runs the
-first ~10 executions of any program slow; see CLAUDE.md).
+COMPILED (Mosaic) kernels on the real chip and compares against the einsum
+oracles, then reports steady-state timings (multi-round — the remote platform
+runs the first ~10 executions of any program slow; see CLAUDE.md).
 
-Usage: python scripts/tpu_parity_check.py
+A Mosaic-compile regression would otherwise surface only as silent accuracy
+drift (round-3 VERDICT weak #5) — run this every round and commit the JSON:
+
+Usage: python scripts/tpu_parity_check.py [json=PARITY_rNN.json]
 """
 
+import json
 import os
 import sys
 import time
@@ -20,12 +24,17 @@ import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
 
+RESULTS = []
+
 
 def check(name, got, want, rtol=2e-4, atol=1e-5):
     got, want = np.asarray(got), np.asarray(want)
-    ok = np.allclose(got, want, rtol=rtol, atol=atol)
-    md = float(np.abs(got - want).max()) if got.shape == want.shape else "shape!"
+    shape_ok = got.shape == want.shape
+    md = float(np.abs(got - want).max()) if shape_ok else float("nan")
+    ok = shape_ok and np.allclose(got, want, rtol=rtol, atol=atol)
     print(f"  {'OK ' if ok else 'FAIL'} {name}: maxdiff={md}")
+    RESULTS.append({"kernel": name, "maxdiff": md, "rtol": rtol,
+                    "atol": atol, "ok": bool(ok)})
     return ok
 
 
@@ -42,8 +51,17 @@ def steady_ms(f, *args, iters=10, rounds=3):
     return best
 
 
+def record_ms(name, ms):
+    RESULTS.append({"timing": name, "steady_ms": round(ms, 3)})
+    return ms
+
+
 def main():
     ok = True
+    json_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("json="):
+            json_path = a.split("=", 1)[1]
     print(f"devices: {jax.devices()}")
 
     # --- fused correlation loss vs einsum oracle (compiled) ---
@@ -68,12 +86,12 @@ def main():
     print("fused correlation loss (compiled):")
     lo, cdo = jax.jit(oracle)(c1, c2)
     lf, cdf = jax.jit(fused)(c1, c2)
-    ok &= check("fwd loss", lf, lo, rtol=1e-4)
-    ok &= check("fwd cd", cdf, cdo, rtol=1e-4)
+    ok &= check("corr fwd loss", lf, lo, rtol=1e-4)
+    ok &= check("corr fwd cd", cdf, cdo, rtol=1e-4)
     go = jax.jit(jax.grad(lambda a, b: oracle(a, b)[0], argnums=(0, 1)))(c1, c2)
     gf = jax.jit(jax.grad(lambda a, b: fused(a, b)[0], argnums=(0, 1)))(c1, c2)
-    ok &= check("grad dc1", gf[0], go[0])
-    ok &= check("grad dc2", gf[1], go[1])
+    ok &= check("corr grad dc1", gf[0], go[0])
+    ok &= check("corr grad dc2", gf[1], go[1])
 
     # full-field timing at flagship shapes
     b2 = 16
@@ -82,10 +100,16 @@ def main():
     g_full = jax.jit(jax.grad(
         lambda c: fused_correlation_loss(F1, F1, c, c, 0.12,
                                          interpret=False)[0]))
-    print(f"  full-field 16x(784x784) fwd+bwd: {steady_ms(g_full, C1):.1f} ms")
+    ms = record_ms("full-field 16x(784x784) fwd+bwd", steady_ms(g_full, C1))
+    print(f"  full-field 16x(784x784) fwd+bwd: {ms:.1f} ms")
 
     # --- attention kernels vs standard ---
-    from stego_tpu.ops.flash_attention import flash_attention, resident_attention
+    from stego_tpu.ops.flash_attention import (
+        batch_resident_attention,
+        flash_attention,
+        kv_resident_attention,
+        resident_attention,
+    )
 
     bh, hh, n, d = 8, 6, 785, 64
     q = jr.normal(jr.fold_in(k, 8), (bh, hh, n, d), jnp.bfloat16)
@@ -103,15 +127,70 @@ def main():
     fs = jax.jit(standard)
     fr = jax.jit(lambda q, kk, v: resident_attention(q, kk, v, scale))
     ff = jax.jit(lambda q, kk, v: flash_attention(q, kk, v, scale))
+    fb = jax.jit(lambda q, kk, v: batch_resident_attention(q, kk, v, scale))
     want = fs(q, kk, v)
-    ok &= check("resident", fr(q, kk, v).astype(jnp.float32),
+    ok &= check("attn resident", fr(q, kk, v).astype(jnp.float32),
                 want.astype(jnp.float32), rtol=2e-2, atol=5e-3)
-    ok &= check("flash", ff(q, kk, v).astype(jnp.float32),
+    ok &= check("attn flash", ff(q, kk, v).astype(jnp.float32),
                 want.astype(jnp.float32), rtol=2e-2, atol=5e-3)
-    print(f"  standard: {steady_ms(fs, q, kk, v):.2f} ms, "
-          f"resident: {steady_ms(fr, q, kk, v):.2f} ms, "
-          f"flash: {steady_ms(ff, q, kk, v):.2f} ms")
+    ok &= check("attn batch-resident (ViT-S all-heads)",
+                fb(q, kk, v).astype(jnp.float32),
+                want.astype(jnp.float32), rtol=2e-2, atol=5e-3)
+    print(f"  standard: {record_ms('attn standard', steady_ms(fs, q, kk, v)):.2f} ms, "
+          f"resident: {record_ms('attn resident', steady_ms(fr, q, kk, v)):.2f} ms, "
+          f"flash: {record_ms('attn flash', steady_ms(ff, q, kk, v)):.2f} ms, "
+          f"batch-resident: {record_ms('attn batch-resident', steady_ms(fb, q, kk, v)):.2f} ms")
 
+    # ViT-B head-sliced dispatch (12 heads, heads_per_step from the VMEM fit)
+    qb = jr.normal(jr.fold_in(k, 20), (4, 12, n, d), jnp.bfloat16)
+    kb = jr.normal(jr.fold_in(k, 21), (4, 12, n, d), jnp.bfloat16)
+    vb = jr.normal(jr.fold_in(k, 22), (4, 12, n, d), jnp.bfloat16)
+    from stego_tpu.ops.flash_attention import trunk_attention
+
+    ft = jax.jit(lambda q, kk, v: trunk_attention(q, kk, v, scale))
+    ok &= check("attn trunk-dispatch (ViT-B h=12)",
+                ft(qb, kb, vb).astype(jnp.float32),
+                fs(qb, kb, vb).astype(jnp.float32), rtol=2e-2, atol=5e-3)
+
+    # kv-resident long-sequence kernel (res-448 regime, N=3137)
+    nl = 3137
+    ql = jr.normal(jr.fold_in(k, 23), (2, 6, nl, d), jnp.bfloat16)
+    kl = jr.normal(jr.fold_in(k, 24), (2, 6, nl, d), jnp.bfloat16)
+    vl = jr.normal(jr.fold_in(k, 25), (2, 6, nl, d), jnp.bfloat16)
+    fkv = jax.jit(lambda q, kk, v: kv_resident_attention(q, kk, v, scale))
+    ok &= check("attn kv-resident (N=3137)",
+                fkv(ql, kl, vl).astype(jnp.float32),
+                fs(ql, kl, vl).astype(jnp.float32), rtol=2e-2, atol=5e-3)
+    print(f"  kv-resident N=3137: {record_ms('attn kv-resident N=3137', steady_ms(fkv, ql, kl, vl)):.2f} ms")
+
+    # --- fused layernorm vs XLA form ---
+    from stego_tpu.ops.layer_norm import fused_layer_norm
+
+    xln = jr.normal(jr.fold_in(k, 26), (32, 785, 384), jnp.bfloat16)
+    sc = jr.normal(jr.fold_in(k, 27), (384,), jnp.float32)
+    bi = jr.normal(jr.fold_in(k, 28), (384,), jnp.float32)
+
+    def ln_ref(x):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * sc + bi).astype(x.dtype)
+
+    fl = jax.jit(lambda x: fused_layer_norm(x, sc, bi, 1e-6))
+    flr = jax.jit(ln_ref)
+    print("fused layernorm (compiled):")
+    ok &= check("layernorm (bit-parity target)",
+                fl(xln).astype(jnp.float32), flr(xln).astype(jnp.float32),
+                rtol=0.0, atol=0.0)
+    print(f"  xla: {record_ms('layernorm xla', steady_ms(flr, xln)):.3f} ms, "
+          f"pallas: {record_ms('layernorm pallas', steady_ms(fl, xln)):.3f} ms")
+
+    if json_path:
+        with open(json_path, "w") as fjson:
+            json.dump({"device": str(jax.devices()[0]),
+                       "all_ok": bool(ok), "results": RESULTS}, fjson,
+                      indent=1)
+        print(f"wrote {json_path}")
     print("ALL OK" if ok else "FAILURES PRESENT")
     raise SystemExit(0 if ok else 1)
 

@@ -475,8 +475,13 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
                             drop_last=False, num_shards=pc, shard_index=pi,
                             num_threads=nthreads)
 
-    mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k) \
-        if primary else None
+    # EVERY process creates the manager and calls save/restore/close: orbax
+    # coordinates multihost checkpoints with internal barriers + process
+    # allgathers that all jax processes must enter — a primary-only manager
+    # deadlocks (measured in a 2-process probe: sync_global_devices name
+    # mismatch, then Gloo DEADLINE_EXCEEDED). With host (device_get) pytrees
+    # only process 0 actually writes files.
+    mgr = CheckpointManager(ckpt_dir, cfg, save_top_k=cfg.save_top_k)
 
     start_step = 0
     if cfg.resume:
@@ -487,10 +492,8 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         # the stream cursor IS the step count — no loader state in the
         # checkpoint needed). Exceeds Lightning-restart semantics, which
         # replays the epoch from its start.
-        rmgr = mgr or CheckpointManager(ckpt_dir, cfg,
-                                        save_top_k=cfg.save_top_k)
         try:
-            start_step, restored = rmgr.restore(
+            start_step, restored = mgr.restore(
                 template=jax.device_get(state))
             state = jax.device_put(restored, rs)
             train_loader.fast_forward(start_step)
@@ -498,11 +501,7 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         except FileNotFoundError:
             print(f"resume=true but no checkpoints in {ckpt_dir}; "
                   "starting fresh")
-        finally:
-            if rmgr is not mgr:
-                rmgr.close()
-    if mgr:
-        mgr.save_backbone(backbone)
+    mgr.save_backbone(backbone)
 
     # only ship what the step consumes — the host->device link is the
     # bottleneck on tunneled setups (masks only matter under use_salience,

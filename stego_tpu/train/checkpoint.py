@@ -21,14 +21,41 @@ from stego_tpu.config import Config
 
 METRIC_KEY = "test/cluster/mIoU"
 
+# orbax 0.11's async CheckpointManager has a load-induced race between the
+# metrics item write and the step-dir finalize: under heavy CPU contention the
+# background commit dies with FileNotFoundError on
+# ".../metrics.orbax-checkpoint-tmp/metrics" (or a TimeoutError variant on its
+# signaling contract). The error surfaces at the NEXT save() /
+# wait_until_finished() / close(). Saves are idempotent by step, so the
+# recovery is to re-issue the last enqueued save with force=True and wait for
+# it synchronously (reproduced ~1/10 full-suite runs on a shared single core;
+# see CLAUDE.md "known flake").
+_ORBAX_RACE_ERRORS = (FileNotFoundError, TimeoutError)
+
+
+def _is_primary_process() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def _single_process() -> bool:
+    import jax
+
+    return jax.process_count() == 1
+
 
 class CheckpointManager:
     def __init__(self, directory: str, cfg: Config, save_top_k: int = 2):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.cfg = cfg
-        with open(os.path.join(self.directory, "config.json"), "w") as f:
-            f.write(cfg.to_json())
+        # every process constructs the manager (orbax multihost saves need
+        # ALL jax processes inside save/wait — see train/app.py), but only
+        # process 0 writes the config sidecar
+        if _is_primary_process():
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                f.write(cfg.to_json())
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max(1, save_top_k),
             best_fn=lambda metrics: metrics.get(METRIC_KEY, float("-inf")),
@@ -40,6 +67,9 @@ class CheckpointManager:
             enable_async_checkpointing=True,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
+        # last successfully-enqueued managed save, kept for race recovery
+        # (host pytrees only — callers device_get before saving)
+        self._last_save: Optional[Tuple[int, Any, Dict[str, float]]] = None
         self._backbone_saved = os.path.exists(
             os.path.join(self.directory, "backbone")
         )
@@ -111,21 +141,51 @@ class CheckpointManager:
             self._backbone_thread = None
             raise RuntimeError("background backbone save failed") from e
 
+    def _replay_last_save(self) -> None:
+        """Re-issue the save whose background write died in the known orbax
+        race (module docstring constant ``_ORBAX_RACE_ERRORS``), synchronously
+        this time. Idempotent — re-writing a step that did land is harmless."""
+        if self._last_save is None:
+            return
+        if not _single_process():
+            # the race is a single-host load artifact; a per-process replay
+            # under jax.distributed would desynchronize orbax's barriers —
+            # surface the error instead
+            raise RuntimeError(
+                "orbax async-save race recovery is single-process only")
+        step, state, metrics = self._last_save
+        try:
+            self._mgr.save(step, args=ocp.args.StandardSave(state),
+                           metrics=metrics, force=True)
+            self._mgr.wait_until_finished()
+        except ocp.checkpoint_manager.StepAlreadyExistsError:
+            pass  # the racy save finalized after all — nothing to replay
+
     def save(self, step: int, state: Dict[str, Any],
              metrics: Optional[Dict[str, float]] = None) -> None:
         """Async: returns as soon as the save is enqueued; the write overlaps
         subsequent training steps (round-1 blocked the step loop on every
         save, which stalls badly on slow links)."""
         self._check_backbone_error()
-        self._mgr.save(
-            step,
-            args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
-        )
+        fmetrics = {k: float(v) for k, v in (metrics or {}).items()}
+        try:
+            self._mgr.save(step, args=ocp.args.StandardSave(state),
+                           metrics=fmetrics)
+        except _ORBAX_RACE_ERRORS:
+            # orbax blocks here until the PREVIOUS async save finishes, so a
+            # race error raised now belongs to that previous step — replay it,
+            # then enqueue this one.
+            self._replay_last_save()
+            self._mgr.save(step, args=ocp.args.StandardSave(state),
+                           metrics=fmetrics)
+        self._last_save = (step, state, fmetrics)
 
     def wait_until_finished(self) -> None:
         self._join_backbone()
-        self._mgr.wait_until_finished()
+        try:
+            self._mgr.wait_until_finished()
+        except _ORBAX_RACE_ERRORS:
+            self._replay_last_save()
 
     def save_preemption(self, step: int, state: Dict[str, Any],
                         metrics: Optional[Dict[str, float]] = None) -> None:
@@ -137,17 +197,23 @@ class CheckpointManager:
         preemption snapshot); :meth:`restore` prefers it when it is newer
         than the latest managed step."""
         self._check_backbone_error()
-        self._mgr.wait_until_finished()
+        try:
+            self._mgr.wait_until_finished()
+        except _ORBAX_RACE_ERRORS:
+            self._replay_last_save()
         if self._mgr.latest_step() == step:
             return  # the managed save already captured this exact step
         path = os.path.join(self.directory, "preempt")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
-        with open(os.path.join(self.directory, "preempt_step.json"), "w") as f:
-            json.dump({"step": int(step),
-                       "metrics": {k: float(v)
-                                   for k, v in (metrics or {}).items()}}, f)
+        if _is_primary_process():
+            with open(os.path.join(self.directory, "preempt_step.json"),
+                      "w") as f:
+                json.dump({"step": int(step),
+                           "metrics": {k: float(v)
+                                       for k, v in (metrics or {}).items()}},
+                          f)
 
     def _preempt_step(self) -> Optional[int]:
         p = os.path.join(self.directory, "preempt_step.json")
@@ -159,7 +225,10 @@ class CheckpointManager:
 
     def restore(self, step: Optional[int] = None,
                 template: Optional[Dict[str, Any]] = None) -> Tuple[int, Any]:
-        self._mgr.wait_until_finished()
+        try:
+            self._mgr.wait_until_finished()
+        except _ORBAX_RACE_ERRORS:
+            self._replay_last_save()
         if step is None:
             pstep = self._preempt_step()
             latest = self._mgr.latest_step()
@@ -191,6 +260,10 @@ class CheckpointManager:
 
     def close(self):
         self._join_backbone()
+        try:
+            self._mgr.wait_until_finished()
+        except _ORBAX_RACE_ERRORS:
+            self._replay_last_save()
         self._mgr.close()
 
 

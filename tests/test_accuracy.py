@@ -3,10 +3,11 @@
 The offline proxy for the north star's accuracy half (BASELINE.md): the
 textured-mosaic dataset (stego_tpu/data/synthetic.py) is hard enough that
 cluster mIoU lands strictly below 100 with a random backbone, so drops are
-visible. Thresholds are set well below the measured values (CPU, seed 0:
-linear mIoU ~72 / Acc ~87, cluster mIoU ~22 / Acc ~46 at 40 steps) to absorb
-numeric jitter while still catching real regressions; the full-size chip
-numbers live in BASELINE.md (scripts/accuracy_bench.py).
+visible. Thresholds sit ~15% below the measured values (CPU, seed 0:
+linear mIoU 72.5 / Acc 86.8, cluster mIoU 22.2 / Acc 46.2 at 40 steps) —
+tight enough to catch real regressions, loose enough for numeric jitter;
+the full-size chip numbers live in BASELINE.md (scripts/accuracy_bench.py,
+which hard-asserts its own chip-level bands).
 """
 
 import os
@@ -40,11 +41,14 @@ def test_synthetic_mosaic_accuracy(tmp_path):
                     vit_cfg=VIT, res=64, batch_size=8)
     m = train(cfg, vit_cfg=VIT)
     assert np.isfinite(list(m.values())).all()
-    # regression bands (measured values in the module docstring)
-    assert m["test/linear/mIoU"] >= 50.0, m
-    assert m["test/linear/Accuracy"] >= 70.0, m
-    assert m["test/cluster/mIoU"] >= 12.0, m
-    assert m["test/cluster/Accuracy"] >= 33.0, m
+    # regression bands: ~15% below the measured values (re-measured 2026-08-18
+    # on CPU, seed 0: linear mIoU 72.5 / Acc 86.8, cluster mIoU 22.2 /
+    # Acc 46.2) so a real regression trips while numeric jitter passes
+    # (round-3 VERDICT: the old 45%-drop bands couldn't do their job).
+    assert m["test/linear/mIoU"] >= 61.0, m
+    assert m["test/linear/Accuracy"] >= 73.0, m
+    assert m["test/cluster/mIoU"] >= 18.5, m
+    assert m["test/cluster/Accuracy"] >= 39.0, m
     # the task must stay non-trivial: cluster probe strictly below ceiling
     assert m["test/cluster/mIoU"] <= 95.0, m
 

@@ -59,3 +59,51 @@ def test_topk_retention(tmp_path):
     assert len(kept) == 2
     assert 2 in kept  # the best is retained
     mgr.close()
+
+
+def test_orbax_race_recovery(tmp_path):
+    """The known orbax 0.11 async race (FileNotFoundError / TimeoutError on
+    the metrics item commit — CLAUDE.md "known flake") must be recovered by
+    replaying the last enqueued save, not crash the run."""
+    cfg, seg, backbone, state = tiny_setup()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), cfg, save_top_k=2)
+    mgr.save(1, state, metrics={"test/cluster/mIoU": 10.0})
+
+    # inject the race at the next save: first _mgr.save call raises as if a
+    # previous async commit died, subsequent calls go through
+    real_save = mgr._mgr.save
+    calls = {"n": 0}
+
+    def flaky_save(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(
+                "metrics.orbax-checkpoint-tmp/metrics (injected)")
+        return real_save(*a, **k)
+
+    mgr._mgr.save = flaky_save
+    mgr.save(2, state, metrics={"test/cluster/mIoU": 20.0})
+    mgr._mgr.save = real_save
+    # step 1 replayed (force) + step 2 enqueued
+    assert calls["n"] == 3
+    mgr.wait_until_finished()
+    assert sorted(mgr.all_steps()) == [1, 2]
+    assert mgr.best_step() == 2
+
+    # a race surfacing at wait_until_finished is also recovered
+    real_wait = mgr._mgr.wait_until_finished
+    waits = {"n": 0}
+
+    def flaky_wait(*a, **k):
+        waits["n"] += 1
+        if waits["n"] == 1:
+            raise TimeoutError("awaitable_signals_contract (injected)")
+        return real_wait(*a, **k)
+
+    mgr.save(3, state, metrics={"test/cluster/mIoU": 30.0})
+    mgr._mgr.wait_until_finished = flaky_wait
+    mgr.wait_until_finished()  # replays step 3 synchronously
+    mgr._mgr.wait_until_finished = real_wait
+    assert 3 in mgr.all_steps()
+    assert mgr.best_step() == 3
+    mgr.close()
