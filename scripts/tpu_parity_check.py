@@ -141,6 +141,19 @@ def main():
           f"flash: {record_ms('attn flash', steady_ms(ff, q, kk, v)):.2f} ms, "
           f"batch-resident: {record_ms('attn batch-resident', steady_ms(fb, q, kk, v)):.2f} ms")
 
+    # token-major pair kernel (round-4 trunk dispatch for d=64, even heads)
+    from stego_tpu.ops.flash_attention import pair_attention
+
+    qt = q.transpose(0, 2, 1, 3).reshape(bh, n, hh * d)
+    kt = kk.transpose(0, 2, 1, 3).reshape(bh, n, hh * d)
+    vt = v.transpose(0, 2, 1, 3).reshape(bh, n, hh * d)
+    fp = jax.jit(lambda a, b, c: pair_attention(a, b, c, hh, scale))
+    ok &= check("attn pair token-major",
+                fp(qt, kt, vt).astype(jnp.float32),
+                want.transpose(0, 2, 1, 3).reshape(bh, n, hh * d)
+                .astype(jnp.float32), rtol=2e-2, atol=5e-3)
+    print(f"  pair token-major: {record_ms('attn pair', steady_ms(fp, qt, kt, vt)):.2f} ms")
+
     # ViT-B head-sliced dispatch (12 heads, heads_per_step from the VMEM fit)
     qb = jr.normal(jr.fold_in(k, 20), (4, 12, n, d), jnp.bfloat16)
     kb = jr.normal(jr.fold_in(k, 21), (4, 12, n, d), jnp.bfloat16)

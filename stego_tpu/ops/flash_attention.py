@@ -388,6 +388,94 @@ def trunk_attention(q, k, v, scale, mesh=None):
     return None
 
 
+def _pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Two heads per grid step from TOKEN-MAJOR (B, N, H·d) q/k/v.
+
+    Each block is one native 128-lane slice (= one adjacent head pair at
+    d=64) of the dense projection output; static 64-lane halves split the
+    pair in-register. Same max-subtracted one-pass softmax as
+    :func:`_batch_resident_kernel`."""
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    d = q.shape[-1] // 2
+
+    def one(qh, kh, vh):
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return (o / l).astype(o_ref.dtype)
+
+    o_ref[0] = jnp.concatenate(
+        [one(q[:, :d], k[:, :d], v[:, :d]),
+         one(q[:, d:], k[:, d:], v[:, d:])], axis=1)
+
+
+def pair_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
+    scale: float, interpret: bool | None = None, mesh=None,
+) -> jnp.ndarray:
+    """Token-major attention: q/k/v AND the output stay (B, N, H·d).
+
+    The head-major layout the anterior kernels consume costs real step time
+    twice: the q/k/v projections must fold a transpose into their output
+    layout (measured ~48% MXU efficiency vs ~97% for a dense
+    (B,N,D)x(D,D) dot — round-4 ViT-B profile), and the attention output
+    needs the inverse relayout before the out-projection. This kernel reads
+    adjacent head PAIRS as native 128-lane block slices of the dense
+    projection outputs (d=64: one pair per 128 lanes, no lane padding, no
+    strided DMA — unlike the rejected packed-qkv kernel whose (N,3,128)
+    blocks strided a 3x-wider array) and writes token-major blocks the
+    out-projection consumes directly.
+
+    Measured on v5e (12 chained attention sublayers incl. projections,
+    bf16): ViT-B b=32 N=785: 27.2 (head-major batch-resident hs=6) ->
+    19.95 ms; exact match (bf16 noise) vs the einsum oracle
+    (scripts/bench_attn_vitb.py).
+
+    Requires head_dim == 64 and an even head count; forward-only.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, n, hd = q.shape
+    d = hd // num_heads
+    assert d == 64 and num_heads % 2 == 0, (num_heads, d)
+    n_pad = -(-n // 128) * 128
+    assert n_pad <= RESIDENT_MAX_N, "pair kernel is for moderate N"
+
+    def run(q, k, v):
+        bs = q.shape[0]
+        return pl.pallas_call(
+            functools.partial(_pair_kernel, scale=scale),
+            grid=(bs, num_heads // 2),
+            in_specs=[pl.BlockSpec((1, n, 2 * d), lambda i, p: (i, 0, p),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((1, n, 2 * d), lambda i, p: (i, 0, p),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bs, n, hd), v.dtype),
+            interpret=bool(interpret),
+        )(q, k, v)
+
+    from stego_tpu.parallel.mesh import shard_kernel
+
+    out = shard_kernel(run, mesh, 3)(q, k, v)
+    return jax.lax.stop_gradient(out)
+
+
+def use_pair_attention(num_heads: int, head_dim: int, n: int) -> bool:
+    """Dispatch predicate for the token-major pair kernel (DINO ViT-S/B at
+    train/eval resolutions). vit_tiny's odd head count and the res-448
+    regime (N=3137: two (N,N) f32 logits buffers would blow VMEM) fall back
+    to the head-major kernels."""
+    n_pad = -(-n // 128) * 128
+    return head_dim == 64 and num_heads % 2 == 0 and n_pad <= RESIDENT_MAX_N
+
+
 def _packed_kernel(qkv_ref, o_ref, *, scale):
     """Two heads per grid step from a token-major packed-qkv block.
 

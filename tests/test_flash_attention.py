@@ -179,3 +179,53 @@ def test_batch_resident_heads_per_step_matches_full():
     want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
     np.testing.assert_allclose(np.asarray(sliced), np.asarray(full), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sliced), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("h", [2, 6, 12])
+def test_pair_attention_matches_standard(h):
+    """Token-major pair kernel (2 heads per native 128-lane block slice) vs
+    the einsum oracle, head counts spanning ViT-S (6) and ViT-B (12)."""
+    from stego_tpu.ops.flash_attention import pair_attention
+
+    b, n, d = 2, 150, 64
+    key = jr.PRNGKey(0)
+    q = jr.normal(jr.fold_in(key, 1), (b, n, h * d))
+    k = jr.normal(jr.fold_in(key, 2), (b, n, h * d))
+    v = jr.normal(jr.fold_in(key, 3), (b, n, h * d))
+    scale = d**-0.5
+
+    def to_heads(t):
+        return t.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+    want = standard(to_heads(q), to_heads(k), to_heads(v), scale)
+    want = want.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    got = pair_attention(q, k, v, h, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_use_pair_attention_predicate():
+    from stego_tpu.ops.flash_attention import use_pair_attention
+
+    assert use_pair_attention(12, 64, 785)    # ViT-B/8 res 224
+    assert use_pair_attention(6, 64, 785)     # ViT-S/8 res 224
+    assert use_pair_attention(6, 64, 1025)    # res 256 (n_pad 1152)
+    assert not use_pair_attention(3, 64, 785)   # vit_tiny: odd head count
+    assert not use_pair_attention(6, 64, 3137)  # res 448: logits blow VMEM
+    assert not use_pair_attention(4, 32, 785)   # head_dim != 64
+
+
+def test_vit_pair_dispatch_equals_standard():
+    """A ViT config hitting the token-major pair fast path (head_dim 64,
+    even heads, moderate N) must match the einsum trunk."""
+    from stego_tpu.models.vit import ViTConfig, init_vit_params, \
+        vit_get_intermediate_feat
+
+    cfg = ViTConfig(patch_size=4, embed_dim=128, depth=2, num_heads=2,
+                    img_size=16)
+    params = init_vit_params(jr.PRNGKey(0), cfg)
+    img = jr.normal(jr.PRNGKey(1), (2, 16, 16, 3))
+    f_std, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=False)
+    f_par, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=True)
+    np.testing.assert_allclose(np.asarray(f_par[0]), np.asarray(f_std[0]),
+                               rtol=1e-4, atol=1e-5)

@@ -150,3 +150,22 @@ def test_shard_kernel_single_device_passthrough():
     assert shard_kernel(np.sin, None, 1) is np.sin
     mesh1 = make_mesh(1)
     assert shard_kernel(np.sin, mesh1, 1) is np.sin
+
+
+def test_pair_attention_sharded_matches_single(cpu_devices):
+    """The token-major pair kernel under shard_map (batch-parallel) must be
+    bit-identical to its single-device run."""
+    from stego_tpu.ops.flash_attention import pair_attention
+
+    mesh = make_mesh()
+    bs = batch_sharding(mesh)
+    h, n, d = 6, 40, 64
+    key = jr.PRNGKey(0)
+    q = jr.normal(jr.fold_in(key, 1), (8, n, h * d))
+    k = jr.normal(jr.fold_in(key, 2), (8, n, h * d))
+    v = jr.normal(jr.fold_in(key, 3), (8, n, h * d))
+    single = pair_attention(q, k, v, h, d**-0.5)
+    sharded = jax.jit(
+        lambda a, b_, c: pair_attention(a, b_, c, h, d**-0.5, mesh=mesh))(
+        jax.device_put(q, bs), jax.device_put(k, bs), jax.device_put(v, bs))
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
