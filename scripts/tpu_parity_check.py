@@ -103,6 +103,37 @@ def main():
     ms = record_ms("full-field 16x(784x784) fwd+bwd", steady_ms(g_full, C1))
     print(f"  full-field 16x(784x784) fwd+bwd: {ms:.1f} ms")
 
+    # --- fused in-kernel-sampling correlation loss (round 4) ---
+    from stego_tpu.ops.pallas_corr import contrastive_correlation_loss_fused
+
+    k5 = jr.fold_in(k, 30)
+    bs, hs, ws = 16, 28, 28
+    sf1 = jr.normal(jr.fold_in(k5, 1), (bs, hs, ws, 384), jnp.bfloat16)
+    sf2 = jr.normal(jr.fold_in(k5, 2), (bs, hs, ws, 384), jnp.bfloat16)
+    sc1 = jr.normal(jr.fold_in(k5, 3), (bs, hs, ws, 70))
+    sc2 = jr.normal(jr.fold_in(k5, 4), (bs, hs, ws, 70))
+    scfg = CorrLossCfg()
+    skey = jr.fold_in(k5, 5)
+
+    def sampled(impl, c1, c2):
+        out = contrastive_correlation_loss_fused(
+            scfg, skey, sf1, sf2, c1, c2, interpret=False,
+            sampling_impl=impl, feat_dtype=jnp.bfloat16)
+        return (out["pos_intra_loss"] + out["pos_inter_loss"]
+                + out["neg_inter_loss"])
+
+    print("fused in-kernel sampling (compiled):")
+    f_mm = jax.jit(lambda c1, c2: sampled("matmul", c1, c2))
+    f_fu = jax.jit(lambda c1, c2: sampled("fused", c1, c2))
+    ok &= check("sampled-fused fwd loss", f_fu(sc1, sc2), f_mm(sc1, sc2),
+                rtol=1e-4, atol=1e-6)
+    g_mm = jax.jit(jax.grad(lambda a, b: sampled("matmul", a, b),
+                            argnums=(0, 1)))(sc1, sc2)
+    g_fu = jax.jit(jax.grad(lambda a, b: sampled("fused", a, b),
+                            argnums=(0, 1)))(sc1, sc2)
+    ok &= check("sampled-fused grad dcode", g_fu[0], g_mm[0])
+    ok &= check("sampled-fused grad dcode_pos", g_fu[1], g_mm[1])
+
     # --- attention kernels vs standard ---
     from stego_tpu.ops.flash_attention import (
         batch_resident_attention,

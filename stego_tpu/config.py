@@ -139,6 +139,12 @@ class Config:
     # accumulation; primals/grads stay f32). cd tiles gain ~1e-2 abs error —
     # measured step-time delta and tolerance rows in CLAUDE.md / test_pallas.
     pallas_loss_bf16: bool = False
+    # Feature-cache step: fuse the loss's coordinate sampling INTO the Pallas
+    # correlation kernel (ops/pallas_corr_fused_sampling.py) instead of XLA
+    # sampling matmuls feeding the streamed kernel. "auto" = on for TPU
+    # cached steps with use_pallas_loss (measured winner there), off
+    # elsewhere; "on"/"off" force it.
+    fused_sampling: str = "auto"
     # Pallas attention kernel for the frozen trunk (unrolls the block scan).
     # None = auto: on for bfloat16 backbones, off for float32 (parity/tests).
     use_flash_attention: Optional[bool] = None

@@ -500,7 +500,12 @@ def contrastive_correlation_loss_fused(
     if has_neg:
         perms = [super_perm(b, nk) for nk in jax.random.split(k_neg,
                                                               cfg.neg_samples)]
-        shifts = shifts + [cfg.neg_inter_shift]
+        # ONE GROUP PER NEGATIVE SAMPLE: the reference's pointwise recenter
+        # uses fd.mean() of each helper() CALL (modules.py:331-333), i.e. a
+        # separate group mean per k — pooling all negatives into one group
+        # (round 1-3) deviated by ~1e-4 relative in loss and ~2% elementwise
+        # in the code grads under pointwise=true
+        shifts = shifts + [cfg.neg_inter_shift] * cfg.neg_samples
 
     if full_field:
         if cfg.use_salience and orig_salience is not None:
@@ -521,12 +526,8 @@ def contrastive_correlation_loss_fused(
         cp = _prep(orig_code)
         cpp = _prep(orig_code_pos)
         pairs = [(fp, fp, cp, cp), (fp, fpp, cp, cpp)]
-        if has_neg:
-            feats_neg = jnp.concatenate([fp[p] for p in perms], axis=0)
-            code_neg = jnp.concatenate([cp[p] for p in perms], axis=0)
-            reps = (cfg.neg_samples, 1, 1)
-            pairs.append((jnp.tile(fp, reps), feats_neg,
-                          jnp.tile(cp, reps), code_neg))
+        for p in perms:
+            pairs.append((fp, fp[p], cp, cp[p]))
         losses, cd_means = fused_correlation_loss_multi(
             pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
             stabalize=cfg.stabalize, interpret=interpret,
@@ -534,6 +535,37 @@ def contrastive_correlation_loss_fused(
             code_bf16=code_bf16,
         )
         code = code_pos = None
+    elif sampling_impl == "fused":
+        # round-4 lever (VERDICT r3 #2): coordinate sampling + post-sample
+        # normalize + correlation in ONE fwd + ONE bwd Pallas launch
+        # (ops/pallas_corr_fused_sampling.py); negatives are read by index
+        # inside the kernel, so no orig[perm] gather copies or scatter-add
+        # backward exist. Dispatched by the feature-cache step.
+        from stego_tpu.ops.pallas_corr_fused_sampling import sampled_corr_fused
+
+        s = cfg.feature_samples
+        coords1 = _draw_coords(k_c1, b, s, orig_salience, cfg)
+        coords2 = _draw_coords(k_c2, b, s, orig_salience_pos, cfg)
+        losses, cd_means = sampled_corr_fused(
+            orig_feats, orig_feats_pos, orig_code, orig_code_pos,
+            coords1, coords2, perms if has_neg else [], shifts,
+            pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
+            stabalize=cfg.stabalize, feat_dtype=feat_dtype,
+            interpret=interpret,
+        )
+        code = code_pos = None
+        if return_cd_tensors:
+            # hist-step observability only: materialize the sampled codes via
+            # the XLA sampler (state grads still come from the fused kernel,
+            # so hist and no-hist steps stay numerically identical)
+            from stego_tpu.ops.sampling import sample_from_coords
+
+            code = sample_from_coords(orig_code, coords1)
+            code_pos = sample_from_coords(orig_code_pos, coords2)
+            if has_neg:
+                code_neg = jnp.concatenate(
+                    [sample_from_coords(orig_code[p], coords2)
+                     for p in perms], axis=0)
     else:
         s = cfg.feature_samples
         coords1 = _draw_coords(k_c1, b, s, orig_salience, cfg)
@@ -583,10 +615,9 @@ def contrastive_correlation_loss_fused(
             (feats, feats, code, code),
             (feats, feats_pos, code, code_pos),
         ]
-        if has_neg:
-            reps = (cfg.neg_samples,) + (1,) * (feats.ndim - 1)
-            pairs.append((jnp.tile(feats, reps), feats_neg,
-                          jnp.tile(code, reps), code_neg))
+        for k in range(cfg.neg_samples):
+            pairs.append((feats, feats_neg[k * b:(k + 1) * b],
+                          code, code_neg[k * b:(k + 1) * b]))
 
         losses, cd_means = fused_correlation_loss_multi(
             pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
@@ -600,8 +631,8 @@ def contrastive_correlation_loss_fused(
         "pos_intra_cd": cd_means[0],
         "pos_inter_loss": losses[1],
         "pos_inter_cd": cd_means[1],
-        "neg_inter_loss": losses[2] if has_neg else zero,
-        "neg_inter_cd": cd_means[2] if has_neg else zero,
+        "neg_inter_loss": jnp.mean(losses[2:]) if has_neg else zero,
+        "neg_inter_cd": jnp.mean(cd_means[2:]) if has_neg else zero,
     }
     if return_cd_tensors and not full_field:
         from stego_tpu.ops.math import l2_normalize, tensor_correlation
@@ -613,5 +644,6 @@ def contrastive_correlation_loss_fused(
         out["pos_intra_cd"] = cd_of(code, code)
         out["pos_inter_cd"] = cd_of(code, code_pos)
         if has_neg:
+            reps = (cfg.neg_samples,) + (1,) * (code.ndim - 1)
             out["neg_inter_cd"] = cd_of(jnp.tile(code, reps), code_neg)
     return out

@@ -528,12 +528,33 @@ def make_cached_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
                 sub["mask"] = take(cache["mask"], ind).astype(jnp.float32)
                 sub["mask_pos"] = take(cache["mask"],
                                        ind_pos).astype(jnp.float32)
-        # "auto" -> matmul sampler on TPU: without a trunk in the graph the
-        # serializing gathers are the critical path (cached step 3.53 ->
-        # 2.12 ms at K=16; see _update_from_feats docstring)
+        # Sampler dispatch for the cached step, in measured order of wins on
+        # v5e: "fused" runs sampling+normalize+correlation in one Pallas
+        # fwd/bwd pair (round-4; ops/pallas_corr_fused_sampling.py);
+        # "auto"->matmul beat the serializing gathers before that (3.53 ->
+        # 2.12 ms at K=16; see _update_from_feats docstring). The fused
+        # kernel needs the Pallas loss path and is sampled-mode only.
+        fused_ok = (cfg.use_pallas_loss and not cfg.full_field_loss
+                    and cfg.correspondence_weight > 0
+                    # the kernel fetches negative rows by batch index inside
+                    # one device's grid; on a data mesh the perms cross
+                    # shards, so the shard_map'd round-3 kernel handles it
+                    and (seg.mesh is None or seg.mesh.devices.size <= 1))
+        if cfg.fused_sampling == "on":
+            if not fused_ok:
+                raise ValueError(
+                    "fused_sampling='on' needs use_pallas_loss, sampled "
+                    "(not full_field) correspondence loss, and a "
+                    "single-device mesh")
+            impl = "fused"
+        elif (cfg.fused_sampling == "auto" and fused_ok
+                and jax.default_backend() == "tpu"):
+            impl = "fused"
+        else:
+            impl = "auto"
         return _update_from_feats(seg, opts, with_hist, state, ks,
                                   image_feat, image_feat_pos, None, sub,
-                                  sampling_impl="auto")
+                                  sampling_impl=impl)
 
     return train_step
 
