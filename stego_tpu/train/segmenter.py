@@ -229,6 +229,35 @@ def _corr_pair_losses(seg, cfg, key, signal, signal_pos, code, code_pos,
     return corr_loss, metrics
 
 
+def _resolve_corr_sampling(seg: UnsupervisedSegmenter, fallback: str) -> str:
+    """Pick the correlation loss's sampler implementation.
+
+    Measured ladder on v5e (round 4, scripts/bench_fused_sampling.py +
+    /tmp A/B in the round-4 commit): the in-kernel-sampling fused path wins
+    BOTH step families — cached K=16 2.17 -> 1.75 ms, image step b=16
+    18.19 -> 16.76 ms (gather 18.19, matmul 17.05 after the per-k-groups
+    change removed the negatives' tiling). It needs the Pallas loss, sampled
+    (not full-field) mode, and a single-device mesh (negative perms cross
+    shards on a data mesh — the shard_map'd round-3 kernel handles that);
+    ``fallback`` is each step family's measured winner otherwise
+    (image="gather", cached="auto"->matmul).
+    """
+    cfg = seg.cfg
+    fused_ok = (cfg.use_pallas_loss and not cfg.full_field_loss
+                and cfg.correspondence_weight > 0
+                and (seg.mesh is None or seg.mesh.devices.size <= 1))
+    if cfg.fused_sampling == "on":
+        if not fused_ok:
+            raise ValueError(
+                "fused_sampling='on' needs use_pallas_loss, sampled (not "
+                "full_field) correspondence loss, and a single-device mesh")
+        return "fused"
+    if (cfg.fused_sampling == "auto" and fused_ok
+            and jax.default_backend() == "tpu"):
+        return "fused"
+    return fallback
+
+
 def _split_step_keys(key: jax.Array):
     """The train step's 8-way key split, shared by the image and the
     feature-cache step variants so both consume the identical key sequence
@@ -309,8 +338,10 @@ def _update_from_feats(seg: UnsupervisedSegmenter, opts, with_hist: bool,
             # reference sample() quirk: the dataset stores (y, x) coords and
             # sample() transposes the grid — the two swaps cancel on square
             # inputs (train_segmentation.py:189-198, data.py:530-532).
-            resampled = sample_from_coords(code, coord_small,
-                                           impl=sampling_impl)
+            # "fused" exists only for the correlation loss; the aug resample
+            # is a plain grid_sample.
+            aug_impl = "auto" if sampling_impl == "fused" else sampling_impl
+            resampled = sample_from_coords(code, coord_small, impl=aug_impl)
             aug_alignment = -jnp.mean(jnp.sum(
                 l2_normalize(resampled) * l2_normalize(code_aug), axis=-1
             ))
@@ -466,11 +497,14 @@ def make_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
 
         if use_aug:
             batch = dict(batch, coord_aug=coord_aug)
-        # "gather" measured faster than the matmul sampler INSIDE the image
-        # step on v5e (22.3 vs 23.7 ms — see _update_from_feats docstring)
+        # fused in-kernel sampling when available (880 -> 955 imgs/s b=16);
+        # otherwise "gather", which beat the matmul sampler inside the
+        # round-3 image step (see _resolve_corr_sampling)
         return _update_from_feats(seg, opts, with_hist, state, ks,
                                   image_feat, image_feat_pos, image_feat_aug,
-                                  batch, sampling_impl="gather")
+                                  batch,
+                                  sampling_impl=_resolve_corr_sampling(
+                                      seg, "gather"))
 
     return train_step
 
@@ -528,33 +562,14 @@ def make_cached_train_step(seg: UnsupervisedSegmenter, with_hist: bool = True):
                 sub["mask"] = take(cache["mask"], ind).astype(jnp.float32)
                 sub["mask_pos"] = take(cache["mask"],
                                        ind_pos).astype(jnp.float32)
-        # Sampler dispatch for the cached step, in measured order of wins on
-        # v5e: "fused" runs sampling+normalize+correlation in one Pallas
-        # fwd/bwd pair (round-4; ops/pallas_corr_fused_sampling.py);
-        # "auto"->matmul beat the serializing gathers before that (3.53 ->
-        # 2.12 ms at K=16; see _update_from_feats docstring). The fused
-        # kernel needs the Pallas loss path and is sampled-mode only.
-        fused_ok = (cfg.use_pallas_loss and not cfg.full_field_loss
-                    and cfg.correspondence_weight > 0
-                    # the kernel fetches negative rows by batch index inside
-                    # one device's grid; on a data mesh the perms cross
-                    # shards, so the shard_map'd round-3 kernel handles it
-                    and (seg.mesh is None or seg.mesh.devices.size <= 1))
-        if cfg.fused_sampling == "on":
-            if not fused_ok:
-                raise ValueError(
-                    "fused_sampling='on' needs use_pallas_loss, sampled "
-                    "(not full_field) correspondence loss, and a "
-                    "single-device mesh")
-            impl = "fused"
-        elif (cfg.fused_sampling == "auto" and fused_ok
-                and jax.default_backend() == "tpu"):
-            impl = "fused"
-        else:
-            impl = "auto"
+        # fused in-kernel sampling when available (7364 -> 9156 imgs/s at
+        # K=16); otherwise "auto"->matmul, which beat the serializing
+        # gathers in the trunk-less cached step (3.53 -> 2.12 ms at K=16;
+        # see _resolve_corr_sampling / _update_from_feats docstrings)
         return _update_from_feats(seg, opts, with_hist, state, ks,
                                   image_feat, image_feat_pos, None, sub,
-                                  sampling_impl=impl)
+                                  sampling_impl=_resolve_corr_sampling(
+                                      seg, "auto"))
 
     return train_step
 

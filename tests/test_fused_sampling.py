@@ -222,3 +222,50 @@ def test_cached_step_fused_matches_matmul_path():
         np.testing.assert_allclose(float(metrics[0][k]),
                                    float(metrics[1][k]), rtol=2e-4,
                                    atol=1e-5, err_msg=k)
+
+
+def test_image_step_fused_matches_gather_path():
+    """make_train_step with fused_sampling='on' produces the same state
+    trajectory as the round-3 gather path (round 4 extended the fused
+    dispatch to the image step via _resolve_corr_sampling). Also covers the
+    aug-alignment interplay: the aug resample must stay a plain grid_sample
+    when the corr loss goes fused."""
+    from stego_tpu.config import Config
+    from stego_tpu.models.vit import ViTConfig, init_vit_params
+    from stego_tpu.train.segmenter import (UnsupervisedSegmenter,
+                                           make_train_step)
+
+    tiny_vit = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=4,
+                         img_size=16)
+    backbone = init_vit_params(jr.PRNGKey(0), tiny_vit)
+    b, res = 4, 16
+    kb = jr.PRNGKey(7)
+    batch = {
+        "img": jr.normal(jr.fold_in(kb, 0), (b, res, res, 3)),
+        "img_pos": jr.normal(jr.fold_in(kb, 1), (b, res, res, 3)),
+        "label": jr.randint(jr.fold_in(kb, 2), (b, res, res), -1, 3),
+        "label_pos": jr.randint(jr.fold_in(kb, 3), (b, res, res), -1, 3),
+    }
+
+    states, metrics = [], []
+    for fused in (False, True):
+        cfg = Config(dataset_name="directory", dir_dataset_name="synthetic",
+                     res=res, dim=6, feature_samples=3, neg_samples=2,
+                     batch_size=b, backbone_dtype="float32", crop_type=None,
+                     fused_sampling="on" if fused else "off")
+        seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=tiny_vit)
+        step = jax.jit(make_train_step(seg, with_hist=False))
+        st = seg.init_state(jr.PRNGKey(5))
+        for i in range(3):
+            st, m = step(backbone, st, batch, jr.PRNGKey(100 + i))
+        states.append(st)
+        metrics.append(m)
+    jax.tree.map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b_, np.float64), rtol=2e-4,
+            atol=1e-5),
+        states[0]["params"], states[1]["params"])
+    for k in ("loss/total", "loss/linear", "loss/cluster"):
+        np.testing.assert_allclose(float(metrics[0][k]),
+                                   float(metrics[1][k]), rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
