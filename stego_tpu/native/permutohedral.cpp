@@ -7,11 +7,23 @@
 // (reference src/crf.py uses pydensecrf's dense bilateral message passing):
 // the mean-field CRF's bilateral term is one lattice filter per iteration.
 //
+// The lattice structure depends only on the POSITIONS, so it is built once
+// per kernel (hashing, simplex enumeration, blur-neighbor resolution) and
+// then applied to many value arrays — the mean-field loop filters the same
+// kernel 10+ times per image, and rebuilding per call dominated the round-3
+// single-shot ABI (~29 s/img at res 320; the split brings it to ~1 s/img).
+//
 // C ABI (ctypes-friendly):
-//   permutohedral_filter(positions[N*pd], values[N*vd], out[N*vd], N, pd, vd)
-// computes out_i = sum_j exp(-|p_i - p_j|^2 / 2) v_j  (approximately, with
-// the lattice's built-in kernel normalization; positions should be
-// pre-divided by the desired standard deviations).
+//   void* permutohedral_create(positions[N*pd], N, pd)
+//       builds the lattice for these positions (pre-divided by the desired
+//       standard deviations) and returns an opaque handle.
+//   permutohedral_apply(handle, values[N*vd], out[N*vd], vd)
+//       computes out_i = sum_j exp(-|p_i - p_j|^2 / 2) v_j (approximately,
+//       with the lattice's built-in kernel normalization). No hashing — the
+//       splat offsets and blur neighbor indices are precomputed.
+//   permutohedral_destroy(handle)
+//   permutohedral_filter(positions, values, out, n, pd, vd)
+//       one-shot convenience wrapper (create + apply + destroy).
 
 #include <cmath>
 #include <cstdint>
@@ -21,7 +33,8 @@
 
 namespace {
 
-// Hash for lattice keys (pd+1 small ints).
+// Hash for lattice keys (pd small ints; the pd+1-th coordinate is implied by
+// the zero-sum constraint).
 struct KeyHash {
   size_t operator()(const std::vector<short>& k) const {
     size_t h = 0;
@@ -31,36 +44,24 @@ struct KeyHash {
 };
 
 struct Lattice {
-  int pd;  // position dimensionality
-  int vd;  // value dimensionality
-  std::unordered_map<std::vector<short>, int, KeyHash> hash;
-  std::vector<std::vector<short>> keys;   // key per lattice point
-  std::vector<float> values;              // vd floats per lattice point
+  int pd = 0;         // position dimensionality
+  int n = 0;          // number of input points
+  int n_lattice = 0;  // number of occupied lattice points
 
-  explicit Lattice(int pd_, int vd_) : pd(pd_), vd(vd_) {}
-
-  int lookup_or_insert(const std::vector<short>& key) {
-    auto it = hash.find(key);
-    if (it != hash.end()) return it->second;
-    int idx = static_cast<int>(keys.size());
-    hash.emplace(key, idx);
-    keys.push_back(key);
-    values.resize(values.size() + vd, 0.0f);
-    return idx;
-  }
-
-  int lookup(const std::vector<short>& key) const {
-    auto it = hash.find(key);
-    return it == hash.end() ? -1 : it->second;
-  }
+  // Per input point: pd+1 enclosing simplex vertices + barycentric weights.
+  std::vector<int> offsets;           // n * (pd+1)
+  std::vector<float> barycentric;     // n * (pd+1)
+  // Per lattice point and axis: the two blur neighbors (-1 = absent),
+  // laid out axis-major: neighbors[j * n_lattice * 2 + i * 2 + dir].
+  std::vector<int> neighbors;
 };
 
-}  // namespace
-
-extern "C" void permutohedral_filter(const float* positions,
-                                     const float* values_in, float* out,
-                                     int n, int pd, int vd) {
+void build_lattice(const float* positions, int n, int pd, Lattice& out) {
   const int d1 = pd + 1;
+  out.pd = pd;
+  out.n = n;
+  out.offsets.resize(static_cast<size_t>(n) * d1);
+  out.barycentric.resize(static_cast<size_t>(n) * d1);
 
   // Elevation scale factors. inv_std_dev makes a unit-variance Gaussian after
   // the three-tap [1 2 1]/4 blur along each of the pd+1 lattice axes.
@@ -71,17 +72,15 @@ extern "C" void permutohedral_filter(const float* positions,
         inv_std_dev / std::sqrt(static_cast<float>((i + 1) * (i + 2)));
   }
 
-  Lattice lattice(pd, vd);
-
-  // Per-point splat data for the slice pass.
-  std::vector<int> offsets(static_cast<size_t>(n) * d1);
-  std::vector<float> barycentric_all(static_cast<size_t>(n) * d1);
+  std::unordered_map<std::vector<short>, int, KeyHash> hash;
+  hash.reserve(static_cast<size_t>(n) * 2);
+  std::vector<std::vector<short>> keys;  // key per lattice point
 
   std::vector<float> elevated(d1);
   std::vector<int> rem0(d1);
   std::vector<int> rank(d1);
   std::vector<float> bary(d1 + 1);
-  std::vector<short> key(d1);
+  std::vector<short> key(pd);
 
   for (int p = 0; p < n; ++p) {
     const float* pos = positions + static_cast<size_t>(p) * pd;
@@ -138,65 +137,125 @@ extern "C" void permutohedral_filter(const float* positions,
     }
     bary[0] += 1.0f + bary[pd + 1];
 
-    // 5) splat to the pd+1 enclosing simplex vertices
+    // 5) record the pd+1 enclosing simplex vertices
     for (int remainder = 0; remainder <= pd; ++remainder) {
       for (int i = 0; i < pd; ++i) {
         key[i] = static_cast<short>(
             rem0[i] + (rank[i] >= d1 - remainder ? remainder - d1 : remainder));
       }
-      // key[pd] is implied by sum=0; store only pd entries
-      key[pd] = 0;
-      std::vector<short> k(key.begin(), key.begin() + pd);
-      int idx = lattice.lookup_or_insert(k);
-      offsets[static_cast<size_t>(p) * d1 + remainder] = idx;
-      barycentric_all[static_cast<size_t>(p) * d1 + remainder] =
+      auto it = hash.find(key);
+      int idx;
+      if (it != hash.end()) {
+        idx = it->second;
+      } else {
+        idx = static_cast<int>(keys.size());
+        hash.emplace(key, idx);
+        keys.push_back(key);
+      }
+      out.offsets[static_cast<size_t>(p) * d1 + remainder] = idx;
+      out.barycentric[static_cast<size_t>(p) * d1 + remainder] =
           bary[remainder];
-      float* lv = lattice.values.data() + static_cast<size_t>(idx) * vd;
-      const float* v = values_in + static_cast<size_t>(p) * vd;
-      float w = bary[remainder];
-      for (int c = 0; c < vd; ++c) lv[c] += w * v[c];
     }
   }
 
-  // 6) blur along each lattice direction with [1 2 1]/4 (in place over a
-  // double buffer)
-  const int n_lattice = static_cast<int>(lattice.keys.size());
-  std::vector<float> new_values(lattice.values.size());
+  // 6) resolve the blur neighbors once: along axis j the neighbors of key k
+  // are k +/- (1,...,1, -pd at position j, 1,...).
+  const int n_lattice = static_cast<int>(keys.size());
+  out.n_lattice = n_lattice;
+  out.neighbors.assign(static_cast<size_t>(d1) * n_lattice * 2, -1);
   std::vector<short> nkey(pd);
   for (int j = 0; j <= pd; ++j) {
+    int* nj = out.neighbors.data() + static_cast<size_t>(j) * n_lattice * 2;
     for (int i = 0; i < n_lattice; ++i) {
-      const std::vector<short>& k = lattice.keys[i];
-      // neighbors along axis j: key +/- (1,...,1, -pd at position j, 1,...)
+      const std::vector<short>& k = keys[i];
       for (int dir = 0; dir < 2; ++dir) {
         int sgn = dir == 0 ? 1 : -1;
         for (int c = 0; c < pd; ++c) nkey[c] = k[c] + sgn;
         if (j < pd) nkey[j] = k[j] - sgn * pd;
-        int ni = lattice.lookup(nkey);
-        float* dst = new_values.data() + static_cast<size_t>(i) * vd;
-        const float* self = lattice.values.data() + static_cast<size_t>(i) * vd;
-        if (dir == 0) {
-          for (int c = 0; c < vd; ++c) dst[c] = 0.5f * self[c];
-        }
+        auto it = hash.find(nkey);
+        nj[static_cast<size_t>(i) * 2 + dir] =
+            it == hash.end() ? -1 : it->second;
+      }
+    }
+  }
+}
+
+void apply_lattice(const Lattice& lat, const float* values_in, float* out,
+                   int vd) {
+  const int pd = lat.pd;
+  const int d1 = pd + 1;
+  const int n = lat.n;
+  const int n_lattice = lat.n_lattice;
+
+  // splat
+  std::vector<float> lattice_values(static_cast<size_t>(n_lattice) * vd, 0.0f);
+  for (int p = 0; p < n; ++p) {
+    const float* v = values_in + static_cast<size_t>(p) * vd;
+    for (int remainder = 0; remainder <= pd; ++remainder) {
+      int idx = lat.offsets[static_cast<size_t>(p) * d1 + remainder];
+      float w = lat.barycentric[static_cast<size_t>(p) * d1 + remainder];
+      float* lv = lattice_values.data() + static_cast<size_t>(idx) * vd;
+      for (int c = 0; c < vd; ++c) lv[c] += w * v[c];
+    }
+  }
+
+  // blur along each lattice direction with [1 2 1]/4 using the precomputed
+  // neighbor indices (no hashing), ping-ponging a double buffer
+  std::vector<float> new_values(lattice_values.size());
+  for (int j = 0; j <= pd; ++j) {
+    const int* nj =
+        lat.neighbors.data() + static_cast<size_t>(j) * n_lattice * 2;
+    for (int i = 0; i < n_lattice; ++i) {
+      float* dst = new_values.data() + static_cast<size_t>(i) * vd;
+      const float* self = lattice_values.data() + static_cast<size_t>(i) * vd;
+      for (int c = 0; c < vd; ++c) dst[c] = 0.5f * self[c];
+      for (int dir = 0; dir < 2; ++dir) {
+        int ni = nj[static_cast<size_t>(i) * 2 + dir];
         if (ni >= 0) {
           const float* nv =
-              lattice.values.data() + static_cast<size_t>(ni) * vd;
+              lattice_values.data() + static_cast<size_t>(ni) * vd;
           for (int c = 0; c < vd; ++c) dst[c] += 0.25f * nv[c];
         }
       }
     }
-    lattice.values.swap(new_values);
+    lattice_values.swap(new_values);
   }
 
-  // 7) slice with the same barycentric weights
+  // slice with the same barycentric weights
   const float alpha = 1.0f / (1.0f + std::pow(2.0f, -pd));
   for (int p = 0; p < n; ++p) {
     float* o = out + static_cast<size_t>(p) * vd;
     for (int c = 0; c < vd; ++c) o[c] = 0.0f;
     for (int remainder = 0; remainder <= pd; ++remainder) {
-      int idx = offsets[static_cast<size_t>(p) * d1 + remainder];
-      float w = barycentric_all[static_cast<size_t>(p) * d1 + remainder];
-      const float* lv = lattice.values.data() + static_cast<size_t>(idx) * vd;
+      int idx = lat.offsets[static_cast<size_t>(p) * d1 + remainder];
+      float w = lat.barycentric[static_cast<size_t>(p) * d1 + remainder];
+      const float* lv = lattice_values.data() + static_cast<size_t>(idx) * vd;
       for (int c = 0; c < vd; ++c) o[c] += alpha * w * lv[c];
     }
   }
+}
+
+}  // namespace
+
+extern "C" void* permutohedral_create(const float* positions, int n, int pd) {
+  Lattice* lat = new Lattice();
+  build_lattice(positions, n, pd, *lat);
+  return lat;
+}
+
+extern "C" void permutohedral_apply(void* handle, const float* values_in,
+                                    float* out, int vd) {
+  apply_lattice(*static_cast<Lattice*>(handle), values_in, out, vd);
+}
+
+extern "C" void permutohedral_destroy(void* handle) {
+  delete static_cast<Lattice*>(handle);
+}
+
+extern "C" void permutohedral_filter(const float* positions,
+                                     const float* values_in, float* out,
+                                     int n, int pd, int vd) {
+  Lattice lat;
+  build_lattice(positions, n, pd, lat);
+  apply_lattice(lat, values_in, out, vd);
 }

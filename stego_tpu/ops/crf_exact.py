@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from stego_tpu.native import permutohedral_filter
+from stego_tpu.native import PermutohedralLattice
 from stego_tpu.ops.crf import (
     BI_RGB_STD,
     BI_W,
@@ -32,18 +32,25 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
 
 
 def _upsample_bilinear(logits: np.ndarray, hw) -> np.ndarray:
-    from stego_tpu.ops.interp import interpolate
+    # Pure-numpy resize (same align_corners=False weights as ops.interp):
+    # this is the HOST backend — routing the upsample through jax costs a
+    # device round-trip per image (~0.75 s over the axon tunnel) and drags a
+    # TPU dependency into a host-only code path.
+    from stego_tpu.data.transforms import resize_bilinear_np
 
-    return np.asarray(interpolate(logits[None], hw, "bilinear",
-                                  align_corners=False)[0])
+    return resize_bilinear_np(np.asarray(logits, np.float32), hw)
 
 
 class _Kernel:
     def __init__(self, positions: np.ndarray):
-        self.positions = np.ascontiguousarray(positions, np.float32)
+        # Build the lattice ONCE; the mean-field loop filters it n_iter
+        # times. (The one-shot permutohedral_filter ABI rebuilt the lattice
+        # per message — ~29 s/img at res 320 vs ~1 s with the split.)
+        self.lattice = PermutohedralLattice(
+            np.ascontiguousarray(positions, np.float32))
         ones = np.ones((positions.shape[0], 1), np.float32)
         self.inv_sqrt_norm = 1.0 / np.sqrt(
-            np.maximum(permutohedral_filter(self.positions, ones), 1e-20)
+            np.maximum(self.lattice.apply(ones), 1e-20)
         )
 
     def message(self, q: np.ndarray) -> np.ndarray:
@@ -51,7 +58,7 @@ class _Kernel:
         # weight is k(i,i)/norm_i ≈ 1/|neighborhood| — negligible for the
         # large-support CRF kernels, so it is not explicitly removed
         # (subtracting full q would over-correct by ~norm_i).
-        tmp = permutohedral_filter(self.positions, q * self.inv_sqrt_norm)
+        tmp = self.lattice.apply(q * self.inv_sqrt_norm)
         return tmp * self.inv_sqrt_norm
 
 
