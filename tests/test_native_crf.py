@@ -31,6 +31,24 @@ def test_lattice_matches_bruteforce_5d(rng):
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.95
 
 
+def test_lattice_handle_matches_oneshot(rng):
+    """The build-once handle ABI (permutohedral_create/apply) must be
+    bit-identical to the one-shot filter — same splat/blur/slice code, the
+    handle only precomputes the position-dependent structure. Repeated
+    applies must not mutate the lattice (the mean-field loop reuses it)."""
+    from stego_tpu.native import PermutohedralLattice
+
+    pos = rng.random((500, 5), dtype=np.float32) * 20
+    vals = rng.random((500, 4), dtype=np.float32)
+    lat = PermutohedralLattice(pos)
+    one_shot = permutohedral_filter(pos, vals)
+    np.testing.assert_array_equal(lat.apply(vals), one_shot)
+    np.testing.assert_array_equal(lat.apply(vals), one_shot)  # no mutation
+    # a different value width through the same lattice
+    np.testing.assert_array_equal(
+        lat.apply(vals[:, :1]), permutohedral_filter(pos, vals[:, :1]))
+
+
 def test_exact_crf_valid_distribution(rng):
     img = rng.random((24, 24, 3), dtype=np.float32)
     logits = rng.standard_normal((8, 8, 4)).astype(np.float32)
