@@ -145,6 +145,18 @@ class Config:
     # cached steps with use_pallas_loss (measured winner there), off
     # elsewhere; "on"/"off" force it.
     fused_sampling: str = "auto"
+    # Scope of the correlation loss's negative derangements on a >1-device
+    # mesh. "global": each negative may come from any image in the global
+    # batch (the single-process reference's semantics; the fused-sampling
+    # kernel then falls back to the streamed path on meshes, whose gathers
+    # cross shards via GSPMD collectives). "local": each device draws its
+    # negatives from its OWN batch shard — exactly the reference's
+    # per-process DDP behavior (src/modules.py:291-295 runs per GPU under
+    # train_segmentation.py:476) — which keeps the fused-sampling kernel's
+    # measured wins live on any mesh (shard-local scalar-prefetch indices,
+    # zero collectives in the loss). Single-device runs are identical under
+    # both. A/B on the synthetic accuracy proxy: BASELINE.md.
+    negatives_scope: str = "global"
     # Pallas attention kernel for the frozen trunk (unrolls the block scan).
     # None = auto: on for bfloat16 backbones, off for float32 (parity/tests).
     use_flash_attention: Optional[bool] = None
@@ -229,6 +241,14 @@ class Config:
             raise ValueError(
                 f"res={self.res} must be divisible by patch={self.dino_patch_size}"
             )
+        if self.fused_sampling not in ("on", "off", "auto"):
+            raise ValueError(
+                f"fused_sampling must be 'on'/'off'/'auto', got "
+                f"{self.fused_sampling!r}")
+        if self.negatives_scope not in ("global", "local"):
+            raise ValueError(
+                f"negatives_scope must be 'global'/'local', got "
+                f"{self.negatives_scope!r}")
         if self.steps_per_dispatch < 1:
             raise ValueError("steps_per_dispatch must be >= 1")
         if self.steps_per_dispatch > 1 and not self.cache_backbone_feats:

@@ -280,13 +280,15 @@ def evaluate(
             img = jax.device_put(jnp.asarray(compact["img"]), bs_shard)
             label = jax.device_put(jnp.asarray(compact["label"]), bs_shard)
         if exact_crf:
-            from stego_tpu.ops.crf_exact import dense_crf_exact_batch
+            from stego_tpu.ops.crf_exact import dense_crf_exact_batch_multi
 
             lp, cp, img01 = eval_step(backbone, params, img, label)
-            linear_preds = dense_crf_exact_batch(
-                np.asarray(img01), np.asarray(lp)).argmax(-1)
-            cluster_preds = dense_crf_exact_batch(
-                np.asarray(img01), np.asarray(cp)).argmax(-1)
+            # one call: the bilateral lattice (the dominant per-image cost)
+            # is built once per image and shared by both probes' logits
+            lprob, cprob = dense_crf_exact_batch_multi(
+                np.asarray(img01), [np.asarray(lp), np.asarray(cp)])
+            linear_preds = lprob.argmax(-1)
+            cluster_preds = cprob.argmax(-1)
             linear_metrics.update(np.asarray(linear_preds),
                                   np.asarray(batch["label"]))
             cluster_metrics.update(np.asarray(cluster_preds),

@@ -19,7 +19,11 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from stego_tpu.ops.math import l2_normalize, super_perm, tensor_correlation
+from stego_tpu.ops.math import (
+    block_local_super_perm,
+    l2_normalize,
+    tensor_correlation,
+)
 from stego_tpu.ops.sampling import sample_from_coords
 
 
@@ -36,9 +40,14 @@ class CorrLossCfg:
     pos_inter_shift: float = 0.12
     neg_inter_shift: float = 0.46
     use_salience: bool = False
+    # negatives_scope=local on a D-device mesh: each negative derangement is
+    # block-diagonal over D contiguous batch blocks (the reference's
+    # per-process DDP semantics, src/modules.py:291-295 under
+    # train_segmentation.py:476). 1 = global (single-process reference).
+    neg_blocks: int = 1
 
     @classmethod
-    def from_config(cls, cfg) -> "CorrLossCfg":
+    def from_config(cls, cfg, neg_blocks: int = 1) -> "CorrLossCfg":
         return cls(
             pointwise=cfg.pointwise,
             zero_clamp=cfg.zero_clamp,
@@ -49,6 +58,7 @@ class CorrLossCfg:
             pos_inter_shift=cfg.pos_inter_shift,
             neg_inter_shift=cfg.neg_inter_shift,
             use_salience=cfg.use_salience,
+            neg_blocks=neg_blocks,
         )
 
 
@@ -74,7 +84,18 @@ def corr_loss_helper(
     if cfg.pointwise:
         # fd - rowmean + globalmean: algebraically identical to the reference's
         # old_mean / re-centering dance (the intermediate's global mean is 0).
-        old_mean = jnp.mean(fd)
+        # Under negatives_scope=local (neg_blocks=D) the "global" mean is
+        # per contiguous batch block — what each reference DDP process
+        # computes for ITS local batch (src/modules.py:330-333 runs per
+        # process under train_segmentation.py:476).
+        d = cfg.neg_blocks
+        if d > 1:
+            b = fd.shape[0]
+            om = jnp.mean(fd.reshape(d, -1), axis=1)
+            old_mean = jnp.repeat(om, b // d).reshape(
+                (b,) + (1,) * (fd.ndim - 1))
+        else:
+            old_mean = jnp.mean(fd)
         fd = fd - jnp.mean(fd, axis=(3, 4), keepdims=True) + old_mean
 
     cd = tensor_correlation(l2_normalize(c1), l2_normalize(c2))
@@ -175,7 +196,7 @@ def contrastive_correlation_loss(
     neg_losses = []
     neg_cds = []
     for nk in jax.random.split(k_neg, cfg.neg_samples):
-        perm_neg = super_perm(b, nk)
+        perm_neg = block_local_super_perm(b, nk, cfg.neg_blocks)
         feats_neg = sample(orig_feats[perm_neg], coords2)
         code_neg = sample(orig_code[perm_neg], coords2)
         neg_inter_loss, neg_inter_cd = corr_loss_helper(

@@ -39,3 +39,27 @@ def super_perm(size: int, key: jax.Array) -> jnp.ndarray:
     perm = jax.random.permutation(key, size)
     fixed = perm == jnp.arange(size)
     return jnp.where(fixed, perm + 1, perm) % size
+
+
+def block_local_super_perm(size: int, key: jax.Array,
+                           n_blocks: int = 1) -> jnp.ndarray:
+    """Block-diagonal near-derangement: one independent :func:`super_perm`
+    per contiguous block of ``size // n_blocks`` rows.
+
+    ``n_blocks == 1`` is exactly :func:`super_perm` (same key consumption).
+    With ``n_blocks == mesh_size`` this is the reference's DDP negative
+    semantics (src/modules.py:291-295 runs PER PROCESS under Lightning DDP,
+    train_segmentation.py:476): every device draws its negatives from its own
+    batch shard, so no negative index ever crosses a shard boundary — the
+    property that lets the fused-sampling kernel run per-shard under
+    shard_map (``negatives_scope=local``).
+    """
+    if n_blocks <= 1:
+        return super_perm(size, key)
+    if size % n_blocks:
+        raise ValueError(
+            f"batch {size} not divisible by negatives blocks {n_blocks}")
+    bl = size // n_blocks
+    keys = jax.random.split(key, n_blocks)
+    return jnp.concatenate(
+        [super_perm(bl, k) + i * bl for i, k in enumerate(keys)])

@@ -373,6 +373,7 @@ def fused_correlation_loss_multi(
     pre_prepped: bool = False,
     n_real: int | None = None,
     code_bf16: bool = False,
+    split_groups: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """All pair types in ONE kernel launch.
 
@@ -399,13 +400,33 @@ def fused_correlation_loss_multi(
         (shard_map); the stacked-group batch dim must divide the mesh size.
         The finalize reductions and negative gathers stay in plain XLA and
         are partitioned by GSPMD — results are identical to single-device.
+      split_groups: split every pair type into this many equal-sized
+        consecutive batch blocks, each its OWN group (own pointwise fd mean),
+        then average the block losses per type. ``negatives_scope=local`` on
+        a D-device mesh sets this to D: each block is one shard, reproducing
+        the reference's per-process DDP semantics (every DDP process
+        computes helper()'s fd.mean() over its local batch,
+        src/modules.py:330-333 under train_segmentation.py:476) — and
+        matching the per-shard fused-sampling kernel exactly. Zero data
+        movement: only the finalize's group slicing changes.
     Returns:
       (losses (G,), cd_means (G,)) — per pair type, each equal to the einsum
       oracle's ``loss.mean()`` / ``cd.mean()`` for that pair.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    group_sizes = tuple(p[0].shape[0] for p in pairs)
+    n_types = len(pairs)
+    if split_groups > 1:
+        for p in pairs:
+            if p[0].shape[0] % split_groups:
+                raise ValueError(
+                    f"pair batch {p[0].shape[0]} not divisible by "
+                    f"split_groups {split_groups}")
+        group_sizes = tuple(p[0].shape[0] // split_groups
+                            for p in pairs for _ in range(split_groups))
+        shifts = [s for s in shifts for _ in range(split_groups)]
+    else:
+        group_sizes = tuple(p[0].shape[0] for p in pairs)
 
     if pre_prepped:
         assert n_real is not None, "pre_prepped needs n_real"
@@ -432,7 +453,12 @@ def fused_correlation_loss_multi(
         stabalize=bool(stabalize), n_real=n, interpret=bool(interpret),
         mesh=mesh, code_bf16=bool(code_bf16),
     )
-    return _fused_core(f1, f2, c1, c2, st)
+    losses, cd_means = _fused_core(f1, f2, c1, c2, st)
+    if split_groups > 1:
+        # per pair type: mean of its equal-sized block losses
+        losses = jnp.mean(losses.reshape(n_types, split_groups), axis=1)
+        cd_means = jnp.mean(cd_means.reshape(n_types, split_groups), axis=1)
+    return losses, cd_means
 
 
 def fused_correlation_loss(
@@ -489,7 +515,7 @@ def contrastive_correlation_loss_fused(
     to bias) and raises.
     """
     from stego_tpu.ops.correlation import _draw_coords
-    from stego_tpu.ops.math import super_perm
+    from stego_tpu.ops.math import block_local_super_perm
     from stego_tpu.ops.sampling import sample_from_coords
 
     b = orig_feats.shape[0]
@@ -498,8 +524,10 @@ def contrastive_correlation_loss_fused(
     shifts = [cfg.pos_intra_shift, cfg.pos_inter_shift]
     has_neg = cfg.neg_samples > 0
     if has_neg:
-        perms = [super_perm(b, nk) for nk in jax.random.split(k_neg,
-                                                              cfg.neg_samples)]
+        # negatives_scope=local draws one derangement per mesh shard
+        # (neg_blocks == mesh size; reference per-process DDP semantics)
+        perms = [block_local_super_perm(b, nk, getattr(cfg, "neg_blocks", 1))
+                 for nk in jax.random.split(k_neg, cfg.neg_samples)]
         # ONE GROUP PER NEGATIVE SAMPLE: the reference's pointwise recenter
         # uses fd.mean() of each helper() CALL (modules.py:331-333), i.e. a
         # separate group mean per k — pooling all negatives into one group
@@ -532,7 +560,7 @@ def contrastive_correlation_loss_fused(
             pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
             stabalize=cfg.stabalize, interpret=interpret,
             feat_dtype=feat_dtype, mesh=mesh, pre_prepped=True, n_real=n_hw,
-            code_bf16=code_bf16,
+            code_bf16=code_bf16, split_groups=getattr(cfg, "neg_blocks", 1),
         )
         code = code_pos = None
     elif sampling_impl == "fused":
@@ -543,6 +571,32 @@ def contrastive_correlation_loss_fused(
         # backward exist. Dispatched by the feature-cache step.
         from stego_tpu.ops.pallas_corr_fused_sampling import sampled_corr_fused
 
+        if mesh is not None and mesh.devices.size > 1:
+            # the fused kernel reads negatives by source index inside the
+            # kernel AND computes the pointwise fd means per shard, so on a
+            # mesh the config MUST declare shard-local semantics
+            # (negatives_scope=local -> neg_blocks == mesh size) — a global
+            # config would silently get different (per-shard) numerics. Fail
+            # loudly rather than compute garbage (round-4 advisor finding).
+            if getattr(cfg, "neg_blocks", 1) != mesh.devices.size:
+                raise ValueError(
+                    "sampling_impl='fused' on a >1-device mesh needs "
+                    "shard-local negatives: set negatives_scope='local' "
+                    f"(cfg.neg_blocks={getattr(cfg, 'neg_blocks', 1)} != mesh "
+                    f"size {mesh.devices.size})")
+        elif getattr(cfg, "neg_blocks", 1) > 1:
+            raise ValueError(
+                "neg_blocks>1 (negatives_scope=local) with sampling_impl="
+                "'fused' requires the matching multi-device mesh — the "
+                "single-device fused kernel computes one pointwise mean per "
+                "pair type, not per block (use the streamed path to emulate "
+                "shard semantics on one device)")
+        if code_bf16:
+            raise ValueError(
+                "pallas_loss_bf16 is not implemented for the fused-sampling "
+                "kernel (its code side is f32 end-to-end; the flag is a "
+                "measured non-win — CLAUDE.md). Use the streamed path "
+                "(fused_sampling='off') to honor it.")
         s = cfg.feature_samples
         coords1 = _draw_coords(k_c1, b, s, orig_salience, cfg)
         coords2 = _draw_coords(k_c2, b, s, orig_salience_pos, cfg)
@@ -551,7 +605,7 @@ def contrastive_correlation_loss_fused(
             coords1, coords2, perms if has_neg else [], shifts,
             pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
             stabalize=cfg.stabalize, feat_dtype=feat_dtype,
-            interpret=interpret,
+            interpret=interpret, mesh=mesh,
         )
         code = code_pos = None
         if return_cd_tensors:
@@ -623,6 +677,7 @@ def contrastive_correlation_loss_fused(
             pairs, shifts, pointwise=cfg.pointwise, zero_clamp=cfg.zero_clamp,
             stabalize=cfg.stabalize, interpret=interpret,
             feat_dtype=feat_dtype, mesh=mesh, code_bf16=code_bf16,
+            split_groups=getattr(cfg, "neg_blocks", 1),
         )
     zero = jnp.zeros((), jnp.float32)
     has_neg = cfg.neg_samples > 0

@@ -400,6 +400,7 @@ def sampled_corr_fused(
     stabalize: bool = False,
     feat_dtype=jnp.float32,
     interpret: bool | None = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Three-pair sampled correlation loss, sampling fused into the kernel.
 
@@ -412,6 +413,14 @@ def sampled_corr_fused(
     reference's per-call ``fd.mean()``). Returns (losses (G,),
     cd_means (G,)) equal to the einsum oracle's per-pair ``loss.mean()`` /
     ``cd.mean()``.
+
+    ``mesh``: on a >1-device mesh the kernel runs per batch shard via
+    shard_map (round 5). The perms MUST then be shard-local (block-diagonal
+    over mesh-size contiguous blocks — ``negatives_scope=local``,
+    ops/math.py:block_local_super_perm): every negative's source row lives on
+    the reading device, so the scalar-prefetch index maps stay collective-free
+    and the per-shard results assemble into the exact single-device
+    block-diagonal loss (mean of equal-sized shard means).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -431,34 +440,72 @@ def sampled_corr_fused(
     # axes before grid_sample (src/modules.py:287)
     g1 = jnp.transpose(coords1, (0, 2, 1, 3))
     g2 = jnp.transpose(coords2, (0, 2, 1, 3))
-    w1 = bilinear_sample_weights((h, wdt), g1)
-    w2 = bilinear_sample_weights((h, wdt), g2)
-    w = jnp.concatenate([w1, w2], axis=0).astype(jnp.float32)
-    w = jnp.pad(w, ((0, 0), (0, sp - s), (0, np_ - h * wdt)))
+    w1 = bilinear_sample_weights((h, wdt), g1).astype(jnp.float32)
+    w2 = bilinear_sample_weights((h, wdt), g2).astype(jnp.float32)
+    pad_w = ((0, 0), (0, sp - s), (0, np_ - h * wdt))
+    w1 = jnp.pad(w1, pad_w)
+    w2 = jnp.pad(w2, pad_w)
 
     def prep(t, cp, dt):
         t = t.reshape(b, h * wdt, t.shape[-1]).astype(dt)
         return jnp.pad(t, ((0, 0), (0, np_ - h * wdt), (0, cp - t.shape[-1])))
 
-    f = jnp.concatenate([prep(orig_feats, cfp, feat_dtype),
-                         prep(orig_feats_pos, cfp, feat_dtype)], axis=0)
-    f = jax.lax.stop_gradient(f)
-    c = jnp.concatenate([prep(orig_code, ccp, jnp.float32),
-                         prep(orig_code_pos, ccp, jnp.float32)], axis=0)
-
-    cols = [jnp.arange(b, dtype=jnp.int32),
-            jnp.arange(b, dtype=jnp.int32) + b]
-    cols += [p.astype(jnp.int32) for p in perms]
-    i2 = jnp.stack(cols, axis=1).reshape(-1)  # (B·G,) slot-major
+    f1 = jax.lax.stop_gradient(prep(orig_feats, cfp, feat_dtype))
+    f2 = jax.lax.stop_gradient(prep(orig_feats_pos, cfp, feat_dtype))
+    c1 = prep(orig_code, ccp, jnp.float32)
+    c2 = prep(orig_code_pos, ccp, jnp.float32)
 
     assert len(shifts) == g, (len(shifts), g)
-    st = _Static(
-        shifts=tuple(float(x) for x in shifts),
-        group_sizes=(b,) * g,
-        pointwise=bool(pointwise), zero_clamp=bool(zero_clamp),
-        stabalize=bool(stabalize), n_real=s, interpret=bool(interpret),
-        mesh=None, code_bf16=False,
-    )
-    ss = _SampledStatic(b=b, g=g, sp=sp, npad=np_, cfp=cfp, st=st,
-                        feat_dtype=feat_dtype)
-    return _sampled_core(w, f, c, i2, ss)
+
+    def make_static(bloc: int) -> _SampledStatic:
+        st = _Static(
+            shifts=tuple(float(x) for x in shifts),
+            group_sizes=(bloc,) * g,
+            pointwise=bool(pointwise), zero_clamp=bool(zero_clamp),
+            stabalize=bool(stabalize), n_real=s, interpret=bool(interpret),
+            mesh=None, code_bf16=False,
+        )
+        return _SampledStatic(b=bloc, g=g, sp=sp, npad=np_, cfp=cfp, st=st,
+                              feat_dtype=feat_dtype)
+
+    def core(w1x, w2x, f1x, f2x, c1x, c2x, perm_rows):
+        """Single-device kernel body; ``perm_rows`` (neg, bloc) LOCAL indices."""
+        bloc = f1x.shape[0]
+        w = jnp.concatenate([w1x, w2x], axis=0)
+        f = jnp.concatenate([f1x, f2x], axis=0)
+        c = jnp.concatenate([c1x, c2x], axis=0)
+        cols = [jnp.arange(bloc, dtype=jnp.int32),
+                jnp.arange(bloc, dtype=jnp.int32) + bloc]
+        cols += [perm_rows[k] for k in range(neg)]
+        i2 = jnp.stack(cols, axis=1).reshape(-1)  # (bloc·G,) slot-major
+        return _sampled_core(w, f, c, i2, make_static(bloc))
+
+    perm_arr = (jnp.stack([p.astype(jnp.int32) for p in perms])
+                if neg else jnp.zeros((0, b), jnp.int32))
+
+    if mesh is None or mesh.devices.size <= 1:
+        return core(w1, w2, f1, f2, c1, c2, perm_arr)
+
+    from jax.sharding import PartitionSpec as P
+
+    from stego_tpu.parallel.mesh import DATA_AXIS
+
+    d = mesh.devices.size
+    if b % d:
+        raise ValueError(f"fused-sampling batch {b} not divisible by mesh "
+                         f"size {d}")
+
+    def per_shard(w1l, w2l, f1l, f2l, c1l, c2l, perml):
+        bloc = f1l.shape[0]
+        off = jax.lax.axis_index(DATA_AXIS) * bloc
+        losses, cds = core(w1l, w2l, f1l, f2l, c1l, c2l, perml - off)
+        return losses[None], cds[None]
+
+    spec = P(DATA_AXIS)
+    losses_d, cds_d = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec,) * 6 + (P(None, DATA_AXIS),),
+        out_specs=(spec, spec), check_vma=False,
+    )(w1, w2, f1, f2, c1, c2, perm_arr)
+    # global per-group loss = mean of the equal-sized shard means
+    return jnp.mean(losses_d, axis=0), jnp.mean(cds_d, axis=0)

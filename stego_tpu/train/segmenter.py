@@ -102,7 +102,15 @@ class UnsupervisedSegmenter:
             )
         else:
             raise ValueError(f"Unknown arch {cfg.arch}")
-        self.corr_cfg = CorrLossCfg.from_config(cfg)
+        # negatives_scope=local on a mesh: one negative derangement per batch
+        # shard (block_local_super_perm with mesh-size blocks) — the
+        # reference's per-process DDP semantics, and the property that lets
+        # the fused-sampling kernel run per-shard (see _resolve_corr_sampling)
+        self.neg_blocks = (self.mesh.devices.size
+                           if (cfg.negatives_scope == "local"
+                               and self.mesh is not None) else 1)
+        self.corr_cfg = CorrLossCfg.from_config(cfg,
+                                                neg_blocks=self.neg_blocks)
         self.crf_cfg = CRFLossCfg(
             n_samples=cfg.crf_samples, alpha=cfg.alpha, beta=cfg.beta,
             gamma=cfg.gamma, w1=cfg.w1, w2=cfg.w2, shift=cfg.shift,
@@ -237,20 +245,26 @@ def _resolve_corr_sampling(seg: UnsupervisedSegmenter, fallback: str) -> str:
     BOTH step families — cached K=16 2.17 -> 1.75 ms, image step b=16
     18.19 -> 16.76 ms (gather 18.19, matmul 17.05 after the per-k-groups
     change removed the negatives' tiling). It needs the Pallas loss, sampled
-    (not full-field) mode, and a single-device mesh (negative perms cross
-    shards on a data mesh — the shard_map'd round-3 kernel handles that);
-    ``fallback`` is each step family's measured winner otherwise
-    (image="gather", cached="auto"->matmul).
+    (not full-field) mode, and — on a >1-device mesh — shard-local negatives
+    (negatives_scope='local'; the kernel reads negative rows by index inside
+    the shard, so global perms cannot cross shards — round 5 made the mesh
+    path live via shard_map). ``fallback`` is each step family's measured
+    winner otherwise (image="gather", cached="auto"->matmul).
+    ``pallas_loss_bf16`` routes to the streamed path, which honors the flag
+    (the fused-sampling kernel's code side is f32 end-to-end).
     """
     cfg = seg.cfg
+    multi = seg.mesh is not None and seg.mesh.devices.size > 1
+    mesh_ok = (not multi) or cfg.negatives_scope == "local"
     fused_ok = (cfg.use_pallas_loss and not cfg.full_field_loss
-                and cfg.correspondence_weight > 0
-                and (seg.mesh is None or seg.mesh.devices.size <= 1))
+                and cfg.correspondence_weight > 0 and mesh_ok
+                and not cfg.pallas_loss_bf16)
     if cfg.fused_sampling == "on":
         if not fused_ok:
             raise ValueError(
                 "fused_sampling='on' needs use_pallas_loss, sampled (not "
-                "full_field) correspondence loss, and a single-device mesh")
+                "full_field) correspondence loss, no pallas_loss_bf16, and "
+                "negatives_scope='local' on a >1-device mesh")
         return "fused"
     if (cfg.fused_sampling == "auto" and fused_ok
             and jax.default_backend() == "tpu"):

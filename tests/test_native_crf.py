@@ -75,3 +75,60 @@ def test_exact_crf_aligns_to_color_edges(rng):
     after = (out.argmax(-1) == true_label).mean()
     assert after > before
     assert after > 0.95
+
+
+def test_exact_crf_spatial_cache_bit_parity(rng):
+    """The per-resolution spatial-lattice cache (round 5) must be
+    bit-identical to a fresh build: same positions -> same lattice -> same
+    filter outputs, whether cached, fresh, or threaded."""
+    from stego_tpu.ops import crf_exact
+
+    h = w = 24
+    img1 = rng.random((h, w, 3), dtype=np.float32)
+    img2 = rng.random((h, w, 3), dtype=np.float32)
+    logits = rng.standard_normal((2, 6, 6, 4)).astype(np.float32)
+
+    crf_exact._SPATIAL_CACHE.clear()
+    out_fresh1 = crf_exact.dense_crf_exact(img1, logits[0])
+    assert (h, w) in crf_exact._SPATIAL_CACHE
+    # second call REUSES the cached lattice — must equal a from-scratch run
+    out_cached1 = crf_exact.dense_crf_exact(img1, logits[0])
+    np.testing.assert_array_equal(out_fresh1, out_cached1)
+
+    # threaded batch (shared cached spatial kernel) == serial per-image
+    out_serial = np.stack([
+        crf_exact.dense_crf_exact(img1, logits[0]),
+        crf_exact.dense_crf_exact(img2, logits[1]),
+    ])
+    out_thr = crf_exact.dense_crf_exact_batch(
+        np.stack([img1, img2]), logits, n_threads=2)
+    np.testing.assert_array_equal(out_serial, out_thr)
+
+    # eviction keeps the cache bounded
+    for size in (8, 10, 12, 14, 16):
+        crf_exact._spatial_kernel(size, size)
+    assert len(crf_exact._SPATIAL_CACHE) <= crf_exact._SPATIAL_CACHE_MAX
+
+
+def test_exact_crf_multi_matches_standalone(rng):
+    """dense_crf_exact_multi (shared bilateral lattice across logit sets)
+    must be bit-identical to standalone per-set calls."""
+    from stego_tpu.ops.crf_exact import (dense_crf_exact,
+                                         dense_crf_exact_batch_multi,
+                                         dense_crf_exact_multi)
+
+    h = w = 20
+    img = rng.random((h, w, 3), dtype=np.float32)
+    la = rng.standard_normal((5, 5, 3)).astype(np.float32)
+    lb = rng.standard_normal((5, 5, 6)).astype(np.float32)
+    got_a, got_b = dense_crf_exact_multi(img, [la, lb])
+    np.testing.assert_array_equal(got_a, dense_crf_exact(img, la))
+    np.testing.assert_array_equal(got_b, dense_crf_exact(img, lb))
+
+    imgs = rng.random((2, h, w, 3), dtype=np.float32)
+    las = rng.standard_normal((2, 5, 5, 3)).astype(np.float32)
+    lbs = rng.standard_normal((2, 5, 5, 6)).astype(np.float32)
+    ba, bb = dense_crf_exact_batch_multi(imgs, [las, lbs], n_threads=2)
+    for i in range(2):
+        np.testing.assert_array_equal(ba[i], dense_crf_exact(imgs[i], las[i]))
+        np.testing.assert_array_equal(bb[i], dense_crf_exact(imgs[i], lbs[i]))
