@@ -11,6 +11,16 @@ Measured on v5e (2026-08-17, min of 3 rounds x 20 steps):
 Both variants are ONE XLA program (no per-call dispatch overhead exists to
 save); two independent half-batch chains schedule better than one doubled
 chain, so the two-call form is the production one.
+
+Round-5 re-measure (2026-08-19, after the token-major kv-resident pair
+kernel took res-320 attention off the head-major projections —
+scripts/bench_attn_longn.py: 12-sublayer chain 21.3 -> 15.6 ms):
+    res 320: two-call 24.3 ms  vs  batched 23.6 ms  (batched 1.03x)
+    res 224: two-call  9.1 ms  vs  batched  8.9 ms  (batched 1.02x)
+The scheduling trade flipped to a ~2-3% batched edge once the relayouts
+left the chain; kept two-call — within remeasurement noise and the
+two-call form is what the sharded eval path (process-sharded batches)
+composes with.
 """
 
 import os

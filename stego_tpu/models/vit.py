@@ -162,24 +162,26 @@ def _attention(
     scale = hd**-0.5
     if use_flash and not want_qkv:
         from stego_tpu.ops.flash_attention import (
-            pair_attention,
+            token_major_attention,
             use_pair_attention,
         )
 
         if use_pair_attention(num_heads, hd, n):
-            # TOKEN-MAJOR fast path (DINO ViT-S/B at moderate N): q/k/v stay
-            # dense (B, N, D) — the projections run as plain dots (~97% MXU
+            # TOKEN-MAJOR fast path (DINO ViT-S/B): q/k/v stay dense
+            # (B, N, D) — the projections run as plain dots (~97% MXU
             # vs ~48% when a head-major transpose folds into their output
-            # layout; round-4 ViT-B profile) and the pair kernel reads/writes
+            # layout; round-4 ViT-B profile) and the pair kernels read/write
             # native 128-lane head-pair slices, so NO head-major relayout
             # exists anywhere in the sublayer. Measured: 12-sublayer chain
-            # 27.2 -> 19.95 ms (ViT-B b=32 N=785, scripts/bench_attn_vitb.py).
+            # 27.2 -> 19.95 ms (ViT-B b=32 N=785, scripts/bench_attn_vitb.py);
+            # round 5 extended past N_pad=1152 via the kv-resident pair
+            # kernel (res-320 eval / res-448 demo; scripts/bench_eval.py).
             wk = p["qkv_kernel"].astype(x.dtype)
             bk = p["qkv_bias"].astype(x.dtype)
             q = x @ wk[:, :d] + bk[:d]
             k = x @ wk[:, d:2 * d] + bk[d:2 * d]
             v = x @ wk[:, 2 * d:] + bk[2 * d:]
-            out = pair_attention(q, k, v, num_heads, scale, mesh=mesh)
+            out = token_major_attention(q, k, v, num_heads, scale, mesh=mesh)
             out = out @ p["proj_kernel"].astype(x.dtype) \
                 + p["proj_bias"].astype(x.dtype)
             return out, None, None

@@ -210,8 +210,10 @@ def test_use_pair_attention_predicate():
     assert use_pair_attention(12, 64, 785)    # ViT-B/8 res 224
     assert use_pair_attention(6, 64, 785)     # ViT-S/8 res 224
     assert use_pair_attention(6, 64, 1025)    # res 256 (n_pad 1152)
+    assert use_pair_attention(6, 64, 3137)    # res 448 (round 5: kv-resident
+    #                                           pair kernel extends the
+    #                                           token-major path past 1152)
     assert not use_pair_attention(3, 64, 785)   # vit_tiny: odd head count
-    assert not use_pair_attention(6, 64, 3137)  # res 448: logits blow VMEM
     assert not use_pair_attention(4, 32, 785)   # head_dim != 64
 
 
@@ -229,3 +231,41 @@ def test_vit_pair_dispatch_equals_standard():
     f_par, _, _ = vit_get_intermediate_feat(params, img, cfg, use_flash=True)
     np.testing.assert_allclose(np.asarray(f_par[0]), np.asarray(f_std[0]),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("h,n", [(2, 300), (6, 1300)])
+def test_pair_kv_attention_matches_standard(h, n):
+    """Round-5 token-major kv-resident pair kernel (long-N regime: head-pair
+    K/V resident, TQ_PAIR query row tiles) vs the einsum oracle. n=1300
+    exceeds RESIDENT_MAX_N (the res-320 eval case) and is NOT a TQ_PAIR
+    multiple, exercising the q padding."""
+    from stego_tpu.ops.flash_attention import pair_kv_attention
+
+    b, d = 2, 64
+    key = jr.PRNGKey(0)
+    q = jr.normal(jr.fold_in(key, 1), (b, n, h * d))
+    k = jr.normal(jr.fold_in(key, 2), (b, n, h * d))
+    v = jr.normal(jr.fold_in(key, 3), (b, n, h * d))
+    scale = d**-0.5
+
+    def to_heads(t):
+        return t.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+
+    want = standard(to_heads(q), to_heads(k), to_heads(v), scale)
+    want = want.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    got = pair_kv_attention(q, k, v, h, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_token_major_dispatch_covers_long_n():
+    """use_pair_attention now accepts the res-320/448 regime (round 5) and
+    token_major_attention routes by N; the >KV_RESIDENT_MAX_N and odd-head
+    cases still fall back."""
+    from stego_tpu.ops.flash_attention import use_pair_attention
+
+    assert use_pair_attention(6, 64, 1601)   # res 320 eval (n_pad 1664)
+    assert use_pair_attention(6, 64, 3137)   # res 448 demo (n_pad 3200)
+    assert use_pair_attention(12, 64, 3137)  # ViT-B res 448
+    assert not use_pair_attention(6, 64, 4200)  # beyond kv-resident budget
+    assert not use_pair_attention(3, 64, 1601)  # odd head count
