@@ -58,7 +58,10 @@ def main():
     seg = UnsupervisedSegmenter(n_classes=27, cfg=cfg)
 
     key = jax.random.PRNGKey(0)
-    backbone = init_vit_params(key, seg.vit_cfg)
+    from stego_tpu.models.vit import cast_params_for_compute
+
+    backbone = cast_params_for_compute(init_vit_params(key, seg.vit_cfg),
+                                       jnp.bfloat16)
     state = seg.init_state(jax.random.fold_in(key, 1))
 
     mesh = make_mesh()

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 RES = 224
+MODEL = os.environ.get("STEGO_BENCH_MODEL", "vit_small")
 WARMUP, STEPS = 15, 25
 
 
@@ -38,12 +39,15 @@ def main():
     from stego_tpu.train.segmenter import (UnsupervisedSegmenter,
                                            make_train_step)
 
-    cfg = Config(model_type="vit_small", dino_patch_size=8, res=RES,
+    cfg = Config(model_type=MODEL, dino_patch_size=8, res=RES,
                  batch_size=batch, dataset_name="cocostuff27",
                  backbone_dtype="bfloat16")
+    from stego_tpu.models.vit import cast_params_for_compute
+
     seg = UnsupervisedSegmenter(n_classes=27, cfg=cfg)
     key = jax.random.PRNGKey(0)
-    backbone = jax.device_put(init_vit_params(key, seg.vit_cfg))
+    backbone = jax.device_put(cast_params_for_compute(
+        init_vit_params(key, seg.vit_cfg), jnp.bfloat16))
     state = jax.device_put(seg.init_state(jax.random.fold_in(key, 1)))
     kb = jax.random.fold_in(key, 3)
     batch_d = {
@@ -79,7 +83,7 @@ def main():
             state, m = run(state)
         float(m["loss/total"])
         best = min(best, (time.perf_counter() - t0) / STEPS)
-    print(f"image step b={batch}: {best*1e3:.2f} ms/step "
+    print(f"{MODEL} image step b={batch}: {best*1e3:.2f} ms/step "
           f"{batch/best:.0f} imgs/s", flush=True)
 
     jax.profiler.start_trace(outdir)

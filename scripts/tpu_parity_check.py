@@ -207,6 +207,20 @@ def main():
                 fs(ql, kl, vl).astype(jnp.float32), rtol=2e-2, atol=5e-3)
     print(f"  kv-resident N=3137: {record_ms('attn kv-resident N=3137', steady_ms(fkv, ql, kl, vl)):.2f} ms")
 
+    # token-major kv-resident PAIR kernel (round-5 res-320/448 dispatch)
+    from stego_tpu.ops.flash_attention import pair_kv_attention
+
+    qlt = ql.transpose(0, 2, 1, 3).reshape(2, nl, 6 * d)
+    klt = kl.transpose(0, 2, 1, 3).reshape(2, nl, 6 * d)
+    vlt = vl.transpose(0, 2, 1, 3).reshape(2, nl, 6 * d)
+    fpkv = jax.jit(lambda a, b, c: pair_kv_attention(a, b, c, 6, scale))
+    ok &= check(
+        "attn pair-kv token-major (N=3137)",
+        fpkv(qlt, klt, vlt).astype(jnp.float32),
+        fs(ql, kl, vl).transpose(0, 2, 1, 3).reshape(2, nl, 6 * d)
+        .astype(jnp.float32), rtol=2e-2, atol=5e-3)
+    print(f"  pair-kv N=3137: {record_ms('attn pair-kv N=3137', steady_ms(fpkv, qlt, klt, vlt)):.2f} ms")
+
     # --- fused layernorm vs XLA form ---
     from stego_tpu.ops.layer_norm import fused_layer_norm
 

@@ -200,6 +200,12 @@ def evaluate(
                                     vit_cfg=seg.vit_cfg, mesh=mesh)
     bs_shard = batch_sharding(mesh)
     rs = replicated_sharding(mesh)
+    if seg.cfg.backbone_dtype == "bfloat16":
+        # bf16 storage for the block matmul weights: bitwise-identical
+        # compute, no per-step f32->bf16 weight conversion (round-5 profile)
+        from stego_tpu.models.vit import cast_params_for_compute
+
+        backbone = cast_params_for_compute(backbone, jnp.bfloat16)
     backbone = jax.device_put(backbone, rs)
     params = jax.device_put(params, rs)
 

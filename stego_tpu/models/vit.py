@@ -118,6 +118,29 @@ def init_vit_params(key: jax.Array, cfg: ViTConfig) -> Dict:
     }
 
 
+def cast_params_for_compute(params: Dict, dtype=jnp.bfloat16) -> Dict:
+    """Store the transformer blocks' matmul weights/biases in the compute
+    dtype.
+
+    The trunk consumes these tensors exclusively through
+    ``.astype(x.dtype)`` (bf16 trunks), so a bf16 trunk with f32 storage
+    re-converts every weight EVERY STEP — the round-5 ViT-B profile charged
+    ~0.26 ms per converted weight stack (~86M params ≈ 500 MB of per-step
+    HBM read). Casting storage once is bitwise-identical compute: the same
+    bf16 values enter the dots. LayerNorm scale/bias (consumed in f32 for
+    exact statistics), patch embed, cls token, pos embed (bicubically
+    interpolated in f32), and the final norm keep f32 storage. No-op for
+    float32 ``dtype`` or non-ViT pytrees (missing "blocks")."""
+    if dtype == jnp.float32 or "blocks" not in params:
+        return params
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    for grp in ("attn", "mlp"):
+        blocks[grp] = {k: v.astype(dtype) for k, v in blocks[grp].items()}
+    out["blocks"] = blocks
+    return out
+
+
 def _layer_norm(p: Dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """LayerNorm with float32 statistics regardless of compute dtype."""
     xf = x.astype(jnp.float32)

@@ -71,7 +71,19 @@ def get_class_labels(dataset_name: str):
 def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array):
     """Backbone weights from disk when provided; random init otherwise
     (offline environments). Reference downloads from URL tables
-    (modules.py:35-62, utils.py:69-125)."""
+    (modules.py:35-62, utils.py:69-125). bf16 trunks get their block matmul
+    weights CAST ONCE to bf16 storage (bitwise-identical compute; skips
+    ~500 MB/step of f32->bf16 weight conversion on ViT-B — round-5 profile,
+    models/vit.py:cast_params_for_compute)."""
+    import jax.numpy as _jnp
+
+    from stego_tpu.models.vit import cast_params_for_compute
+
+    def _cast(p):
+        if cfg.backbone_dtype == "bfloat16":
+            return cast_params_for_compute(p, _jnp.bfloat16)
+        return p
+
     if cfg.arch == "feature-pyramid":
         from stego_tpu.models.resnet import (
             init_resnet50_params,
@@ -92,13 +104,13 @@ def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array):
             cfg.pretrained_weights, cfg.model_type, cfg.dino_patch_size,
             in_chans=4 if cfg.potsdam_ir else 3,
         )
-        return jax.tree.map(jnp.asarray, params)
+        return _cast(jax.tree.map(jnp.asarray, params))
     print(
         "WARNING: no pretrained_weights given — using a randomly initialized "
         "backbone (reference behavior is to download DINO weights; provide "
         "pretrained_weights=<path to .pth> for parity)."
     )
-    return init_vit_params(key, vit_cfg)
+    return _cast(init_vit_params(key, vit_cfg))
 
 
 def make_datasets(cfg: Config):

@@ -145,3 +145,37 @@ def test_init_shapes_and_scan_runs():
     assert feats[0].shape == (1, n_tok, DIM)
     assert attns[0].shape == (1, HEADS, n_tok, n_tok)
     assert qkvs[0].shape == (3, 1, HEADS, n_tok, DIM // HEADS)
+
+
+def test_cast_params_for_compute_bitwise_identical():
+    """bf16 storage for the block matmul weights is a pure storage change:
+    a bf16 trunk produces BITWISE-identical features whether the weights are
+    stored f32 (converted per step) or pre-cast once (round-5 lever —
+    the ViT-B profile charged ~0.26 ms/step per converted weight stack)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stego_tpu.models.vit import (ViTConfig, cast_params_for_compute,
+                                      init_vit_params,
+                                      vit_get_intermediate_feat)
+
+    cfg = ViTConfig(patch_size=4, embed_dim=32, depth=3, num_heads=4,
+                    img_size=16)
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    cast = cast_params_for_compute(params, jnp.bfloat16)
+    # only the block matmul weights changed dtype
+    assert cast["blocks"]["attn"]["qkv_kernel"].dtype == jnp.bfloat16
+    assert cast["blocks"]["mlp"]["fc1_kernel"].dtype == jnp.bfloat16
+    assert cast["blocks"]["norm1"]["scale"].dtype == jnp.float32
+    assert cast["pos_embed"].dtype == jnp.float32
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    f_a, _, _ = vit_get_intermediate_feat(params, img, cfg,
+                                          dtype=jnp.bfloat16)
+    f_b, _, _ = vit_get_intermediate_feat(cast, img, cfg,
+                                          dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(f_a[0], np.float32),
+                                  np.asarray(f_b[0], np.float32))
+    # f32 dtype / non-ViT pytrees: no-op passthrough
+    assert cast_params_for_compute(params, jnp.float32) is params
+    assert cast_params_for_compute({"conv1": 0}, jnp.bfloat16) == {"conv1": 0}
