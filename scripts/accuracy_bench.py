@@ -89,27 +89,13 @@ def sensitive(out_root: str):
     correlation loss, Mosaic-compiled) with its own pinned bands, so a
     Mosaic-compile numerics regression shows up in accuracy terms.
     """
-    from stego_tpu.config import Config
-    from stego_tpu.data.synthetic import write_synthetic_benchmark
-    from stego_tpu.models.vit import ViTConfig
+    from stego_tpu.data.synthetic import tiny_benchmark_setup
     from stego_tpu.train.app import train
     from stego_tpu.train.knn_app import precompute_knns
 
-    vit = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=4,
-                    img_size=64)
-    data_root = os.path.join(out_root, "data64")
-    write_synthetic_benchmark(data_root, n_train=32, n_val=8, res=64)
-    cfg = Config(
-        output_root=os.path.join(out_root, "out_sensitive"),
-        pytorch_data_dir=data_root,
-        dataset_name="directory", dir_dataset_name="synthbench",
-        dir_dataset_n_classes=4, experiment_name="acc_sensitive",
-        model_type="vit_small", dino_patch_size=8,
-        res=64, val_res=64, batch_size=8, val_batch_size=8,
-        max_steps=40, val_freq=40, checkpoint_freq=40, num_neighbors=4,
-        crop_type=None, loader_crop_type="center",
-        backbone_dtype="bfloat16", cache_dataset=True, seed=0,
-    )
+    cfg, vit = tiny_benchmark_setup(
+        os.path.join(out_root, "sensitive"),
+        experiment_name="acc_sensitive", backbone_dtype="bfloat16")
     precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
                     vit_cfg=vit, res=64, batch_size=8)
     metrics = train(cfg, vit_cfg=vit)

@@ -98,3 +98,39 @@ def write_synthetic_benchmark(root: str, name: str = "synthbench",
     with open(done, "w") as f:
         f.write("ok")
     return base
+
+
+def tiny_benchmark_setup(root: str, *, n_train: int = 32, n_val: int = 8,
+                         **config_overrides):
+    """The 2-BLOCK sensitive accuracy instrument, in one place.
+
+    Writes the res-64 mosaic under ``root`` and returns ``(cfg, vit_cfg)``
+    for the tiny ViT (2 blocks, d=32) + 40-step footprint whose cluster mIoU
+    (~22) actually MOVES when numerics move — the suite's regression gate
+    (tests/test_accuracy.py), the chip-stack sensitive row
+    (scripts/accuracy_bench.py) and the negatives-scope A/B
+    (scripts/ab_negatives_scope.py) all consume THIS helper so the footprint
+    cannot drift between them. ``config_overrides`` update Config fields
+    (e.g. ``backbone_dtype='bfloat16'`` for the chip row,
+    ``negatives_scope=...`` for the A/B).
+    """
+    from stego_tpu.config import Config
+    from stego_tpu.models.vit import ViTConfig
+
+    data_root = os.path.join(root, "data")
+    write_synthetic_benchmark(data_root, n_train=n_train, n_val=n_val, res=64)
+    vit_cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=4,
+                        img_size=64)
+    fields = dict(
+        output_root=os.path.join(root, "out"),
+        pytorch_data_dir=data_root,
+        dataset_name="directory", dir_dataset_name="synthbench",
+        dir_dataset_n_classes=4, experiment_name="acc_tiny",
+        model_type="vit_small", dino_patch_size=8,
+        res=64, val_res=64, batch_size=8, val_batch_size=8,
+        max_steps=40, val_freq=40, checkpoint_freq=40, num_neighbors=4,
+        crop_type=None, loader_crop_type="center", backbone_dtype="float32",
+        cache_dataset=True, seed=0,
+    )
+    fields.update(config_overrides)
+    return Config(**fields), vit_cfg

@@ -91,6 +91,10 @@ def corr_loss_helper(
         d = cfg.neg_blocks
         if d > 1:
             b = fd.shape[0]
+            if b % d:
+                raise ValueError(
+                    f"batch {b} not divisible by negatives blocks {d} "
+                    "(negatives_scope=local needs batch % mesh size == 0)")
             om = jnp.mean(fd.reshape(d, -1), axis=1)
             old_mean = jnp.repeat(om, b // d).reshape(
                 (b,) + (1,) * (fd.ndim - 1))

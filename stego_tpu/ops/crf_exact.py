@@ -76,19 +76,22 @@ _SPATIAL_CACHE_MAX = 4  # distinct resolutions kept alive (FIFO eviction)
 
 
 def _spatial_kernel(h: int, w: int) -> _Kernel:
+    # the build runs UNDER the lock: when a batch's worker threads all miss
+    # the same (h, w) at once, exactly one pays the multi-second native
+    # build and the rest pick up the cached handle (an eval batch is
+    # uniform-resolution, so cross-key contention is not a real case)
     with _SPATIAL_LOCK:
         k = _SPATIAL_CACHE.get((h, w))
         if k is not None:
             return k
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-    spatial_pos = np.stack([xs / POS_XY_STD, ys / POS_XY_STD],
-                           axis=-1).reshape(-1, 2)
-    k = _Kernel(spatial_pos)
-    with _SPATIAL_LOCK:
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        spatial_pos = np.stack([xs / POS_XY_STD, ys / POS_XY_STD],
+                               axis=-1).reshape(-1, 2)
+        k = _Kernel(spatial_pos)
         if len(_SPATIAL_CACHE) >= _SPATIAL_CACHE_MAX:
             _SPATIAL_CACHE.pop(next(iter(_SPATIAL_CACHE)))
         _SPATIAL_CACHE[(h, w)] = k
-    return k
+        return k
 
 
 def dense_crf_exact_multi(image01: np.ndarray, logits_list,
@@ -145,6 +148,9 @@ def dense_crf_exact_batch_multi(images01: np.ndarray, logits_sets,
     hosts (mirrors the reference's per-image multiprocessing Pool,
     src/eval_segmentation.py:52-54,118). 0 = one thread per core (capped at
     the batch size); on a 1-core host this degrades to the serial loop.
+    Workers come from a process-lifetime pool so the native filter's
+    thread-local apply scratch (permutohedral.cpp) stays warm across
+    batches instead of being re-faulted by fresh threads every call.
     Returns one (B, H, W, C_k) array per logit set.
     """
     n = len(images01)
@@ -158,10 +164,23 @@ def dense_crf_exact_batch_multi(images01: np.ndarray, logits_sets,
     if n_threads <= 1 or n <= 1:
         per_img = [one(i) for i in range(n)]
     else:
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            per_img = list(pool.map(one, range(n)))
+        per_img = list(_crf_pool(n_threads).map(one, range(n)))
     return [np.stack([per_img[i][k] for i in range(n)])
             for k in range(len(logits_sets))]
+
+
+_CRF_POOLS: dict = {}
+_CRF_POOL_LOCK = threading.Lock()
+
+
+def _crf_pool(n_threads: int) -> ThreadPoolExecutor:
+    with _CRF_POOL_LOCK:
+        pool = _CRF_POOLS.get(n_threads)
+        if pool is None:
+            pool = ThreadPoolExecutor(max_workers=n_threads,
+                                      thread_name_prefix="crf")
+            _CRF_POOLS[n_threads] = pool
+        return pool
 
 
 def dense_crf_exact_batch(images01: np.ndarray, logits: np.ndarray,

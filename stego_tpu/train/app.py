@@ -68,19 +68,23 @@ def get_class_labels(dataset_name: str):
     raise ValueError(f"Unknown Dataset {dataset_name}")
 
 
-def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array):
+def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array,
+                   cast: bool = True):
     """Backbone weights from disk when provided; random init otherwise
     (offline environments). Reference downloads from URL tables
     (modules.py:35-62, utils.py:69-125). bf16 trunks get their block matmul
     weights CAST ONCE to bf16 storage (bitwise-identical compute; skips
     ~500 MB/step of f32->bf16 weight conversion on ViT-B — round-5 profile,
-    models/vit.py:cast_params_for_compute)."""
+    models/vit.py:cast_params_for_compute). ``cast=False`` returns the
+    full-precision tree — the train app saves THAT to the checkpoint so the
+    artifact keeps the source weights' precision (a bf16-truncated save
+    would silently degrade any later f32-parity use of the checkpoint)."""
     import jax.numpy as _jnp
 
     from stego_tpu.models.vit import cast_params_for_compute
 
     def _cast(p):
-        if cfg.backbone_dtype == "bfloat16":
+        if cast and cfg.backbone_dtype == "bfloat16":
             return cast_params_for_compute(p, _jnp.bfloat16)
         return p
 
@@ -383,7 +387,15 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
 
     key = jax.random.PRNGKey(cfg.seed)
     k_backbone, k_state, k_steps = jax.random.split(key, 3)
-    backbone = build_backbone(cfg, seg.vit_cfg, k_backbone)
+    # full-precision tree kept for the checkpoint artifact; the compute copy
+    # gets bf16 storage below (bitwise-identical compute — models/vit.py)
+    backbone_store = build_backbone(cfg, seg.vit_cfg, k_backbone, cast=False)
+    if cfg.backbone_dtype == "bfloat16":
+        from stego_tpu.models.vit import cast_params_for_compute
+
+        backbone = cast_params_for_compute(backbone_store, jnp.bfloat16)
+    else:
+        backbone = backbone_store
     state = seg.init_state(k_state)
 
     bs, rs = batch_sharding(mesh), replicated_sharding(mesh)
@@ -513,7 +525,9 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
         except FileNotFoundError:
             print(f"resume=true but no checkpoints in {ckpt_dir}; "
                   "starting fresh")
-    mgr.save_backbone(backbone)
+    # save the FULL-PRECISION tree: the checkpoint must keep the source
+    # weights' precision even when the compute copy stores bf16
+    mgr.save_backbone(backbone_store)
 
     # only ship what the step consumes — the host->device link is the
     # bottleneck on tunneled setups (masks only matter under use_salience,

@@ -10,36 +10,18 @@ the full-size chip numbers live in BASELINE.md (scripts/accuracy_bench.py,
 which hard-asserts its own chip-level bands).
 """
 
-import os
-
 import numpy as np
 
-from stego_tpu.config import Config
-from stego_tpu.data.synthetic import write_synthetic_benchmark
-from stego_tpu.models.vit import ViTConfig
+from stego_tpu.data.synthetic import tiny_benchmark_setup
 from stego_tpu.train.app import train
 from stego_tpu.train.knn_app import precompute_knns
 
-VIT = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=4, img_size=64)
-
 
 def test_synthetic_mosaic_accuracy(tmp_path):
-    data_root = os.path.join(str(tmp_path), "data")
-    write_synthetic_benchmark(data_root, n_train=32, n_val=8, res=64)
-    cfg = Config(
-        output_root=os.path.join(str(tmp_path), "out"),
-        pytorch_data_dir=data_root,
-        dataset_name="directory", dir_dataset_name="synthbench",
-        dir_dataset_n_classes=4, experiment_name="acc_test",
-        model_type="vit_small", dino_patch_size=8,
-        res=64, val_res=64, batch_size=8, val_batch_size=8,
-        max_steps=40, val_freq=40, checkpoint_freq=40, num_neighbors=4,
-        crop_type=None, loader_crop_type="center", backbone_dtype="float32",
-        cache_dataset=True, seed=0,
-    )
+    cfg, vit = tiny_benchmark_setup(str(tmp_path), experiment_name="acc_test")
     precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
-                    vit_cfg=VIT, res=64, batch_size=8)
-    m = train(cfg, vit_cfg=VIT)
+                    vit_cfg=vit, res=64, batch_size=8)
+    m = train(cfg, vit_cfg=vit)
     assert np.isfinite(list(m.values())).all()
     # regression bands: ~15% below the measured values (re-measured 2026-08-18
     # on CPU, seed 0: linear mIoU 72.5 / Acc 86.8, cluster mIoU 22.2 /

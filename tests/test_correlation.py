@@ -93,6 +93,17 @@ def test_full_loss_shapes_grads_determinism():
     assert np.abs(np.asarray(gf)).sum() == 0
 
 
+def test_helper_rejects_indivisible_neg_blocks():
+    # negatives_scope=local sets neg_blocks to the mesh size; a batch that
+    # doesn't tile into the blocks must fail loudly at trace time, not
+    # silently mis-group the per-shard pointwise fd means.
+    cfg = CorrLossCfg(pointwise=True, neg_blocks=2)
+    f = jr.normal(jr.PRNGKey(0), (3, 4, 4, 6))
+    c = jr.normal(jr.PRNGKey(1), (3, 4, 4, 3))
+    with pytest.raises(ValueError, match="not divisible by negatives blocks"):
+        corr_loss_helper(f, f, c, c, 0.12, cfg)
+
+
 def test_sample_nonzero_locations_respects_mask():
     t = jnp.zeros((2, 8, 8)).at[0, 2, 3].set(1.0).at[1, :, :].set(1.0)
     coords = sample_nonzero_locations(jr.PRNGKey(0), t, 50)

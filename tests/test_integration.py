@@ -106,6 +106,28 @@ def test_end_to_end_einsum_loss(data_root, tmp_path):
         assert np.isfinite(v)
 
 
+def test_bf16_trunk_checkpoints_f32_backbone(data_root, tmp_path):
+    # Round-5 regression guard: the bf16 trunk's COMPUTE copy stores its
+    # block weights in bf16 (models/vit.py:cast_params_for_compute) but the
+    # checkpoint artifact must keep the source weights' precision — a
+    # bf16-truncated save would silently degrade any later f32-parity use
+    # of the checkpoint (train/app.py saves the uncast tree).
+    import orbax.checkpoint as ocp
+
+    import jax
+
+    cfg = make_cfg(data_root, tmp_path, backbone_dtype="bfloat16",
+                   max_steps=2, val_freq=2, checkpoint_freq=2)
+    precompute_knns(cfg, dataset_names=["directory"], crop_types=[None],
+                    vit_cfg=TINY_VIT, res=16, batch_size=8)
+    train(cfg, vit_cfg=TINY_VIT)
+    path = os.path.join(cfg.output_root, "checkpoints", "directory_exp1",
+                        "backbone")
+    restored = ocp.Checkpointer(ocp.StandardCheckpointHandler()).restore(path)
+    dtypes = {str(x.dtype) for x in jax.tree.leaves(restored)}
+    assert dtypes == {"float32"}, dtypes
+
+
 def test_resume_from_checkpoint(data_root, tmp_path):
     """resume=true restores the latest orbax step and continues training from
     there (SURVEY.md §5 checkpoint/resume)."""
