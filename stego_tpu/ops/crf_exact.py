@@ -146,16 +146,21 @@ def dense_crf_exact_batch_multi(images01: np.ndarray, logits_sets,
     (:func:`dense_crf_exact_multi`). The native lattice build + apply release
     the GIL (ctypes), so ``n_threads`` worker threads scale on multi-core
     hosts (mirrors the reference's per-image multiprocessing Pool,
-    src/eval_segmentation.py:52-54,118). 0 = one thread per core (capped at
-    the batch size); on a 1-core host this degrades to the serial loop.
+    src/eval_segmentation.py:52-54,118). 0 = one thread per core; on a
+    1-core host this degrades to the serial loop.
     Workers come from a process-lifetime pool so the native filter's
     thread-local apply scratch (permutohedral.cpp) stays warm across
-    batches instead of being re-faulted by fresh threads every call.
+    batches instead of being re-faulted by fresh threads every call. The
+    pool is sized by the REQUEST, not the batch: a smaller (e.g. final
+    partial) batch on a bigger pool touches only len(batch) workers, while
+    keying by min(cores, batch) would leak one permanent pool per distinct
+    batch size — each worker thread retains the filter's thread-local
+    scratch (~2 lattice-sized vectors) for the life of the process.
     Returns one (B, H, W, C_k) array per logit set.
     """
     n = len(images01)
     if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, n)
+        n_threads = os.cpu_count() or 1
 
     def one(i):
         return dense_crf_exact_multi(images01[i],

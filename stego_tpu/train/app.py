@@ -528,6 +528,10 @@ def train(cfg: Config, vit_cfg: Optional[ViTConfig] = None,
     # save the FULL-PRECISION tree: the checkpoint must keep the source
     # weights' precision even when the compute copy stores bf16
     mgr.save_backbone(backbone_store)
+    # that save was the store's only job — drop it so a bf16 run doesn't
+    # hold both precision copies in HBM for the rest of training (~344 MB
+    # of dead f32 weights on ViT-B; `backbone` is the compute tree)
+    del backbone_store
 
     # only ship what the step consumes — the host->device link is the
     # bottleneck on tunneled setups (masks only matter under use_salience,
