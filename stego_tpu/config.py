@@ -155,7 +155,9 @@ class Config:
     # train_segmentation.py:476) — which keeps the fused-sampling kernel's
     # measured wins live on any mesh (shard-local scalar-prefetch indices,
     # zero collectives in the loss). Single-device runs are identical under
-    # both. A/B on the synthetic accuracy proxy: BASELINE.md.
+    # both. Requires >=2 images per shard (a 1-image shard has no
+    # derangement — ops/math.py raises rather than silently pairing every
+    # image with itself). A/B on the synthetic accuracy proxy: BASELINE.md.
     negatives_scope: str = "global"
     # Pallas attention kernel for the frozen trunk (unrolls the block scan).
     # None = auto: on for bfloat16 backbones, off for float32 (parity/tests).

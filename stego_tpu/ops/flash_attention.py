@@ -526,6 +526,13 @@ def pair_kv_attention(
     b, n, hd = q.shape
     d = hd // num_heads
     assert d == 64 and num_heads % 2 == 0, (num_heads, d)
+    # the (TQ_PAIR, N) logits blocks scale with N — past the budget every
+    # gated caller falls back (use_pair_attention / trunk_attention); direct
+    # callers must not silently compile into a Mosaic VMEM OOM
+    assert -(-n // 128) * 128 <= KV_RESIDENT_MAX_N, (
+        f"pair_kv_attention: N={n} exceeds KV_RESIDENT_MAX_N="
+        f"{KV_RESIDENT_MAX_N}; use flash/einsum attention for longer "
+        f"sequences")
     nq_pad = -(-n // TQ_PAIR) * TQ_PAIR
 
     def run(q, k, v):

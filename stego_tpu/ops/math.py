@@ -60,6 +60,13 @@ def block_local_super_perm(size: int, key: jax.Array,
         raise ValueError(
             f"batch {size} not divisible by negatives blocks {n_blocks}")
     bl = size // n_blocks
+    if bl < 2:
+        # super_perm(1) is the identity: every "negative" would be the
+        # anchor image itself and the neg_inter loss silently degrades.
+        raise ValueError(
+            f"negatives_scope=local needs >=2 images per shard to draw a "
+            f"negative from; got batch {size} over {n_blocks} shards "
+            f"({bl}/shard). Raise batch_size or use negatives_scope=global.")
     keys = jax.random.split(key, n_blocks)
     return jnp.concatenate(
         [super_perm(bl, k) + i * bl for i, k in enumerate(keys)])

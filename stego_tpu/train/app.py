@@ -79,13 +79,11 @@ def build_backbone(cfg: Config, vit_cfg: ViTConfig, key: jax.Array,
     full-precision tree — the train app saves THAT to the checkpoint so the
     artifact keeps the source weights' precision (a bf16-truncated save
     would silently degrade any later f32-parity use of the checkpoint)."""
-    import jax.numpy as _jnp
-
     from stego_tpu.models.vit import cast_params_for_compute
 
     def _cast(p):
         if cast and cfg.backbone_dtype == "bfloat16":
-            return cast_params_for_compute(p, _jnp.bfloat16)
+            return cast_params_for_compute(p, jnp.bfloat16)
         return p
 
     if cfg.arch == "feature-pyramid":

@@ -299,6 +299,17 @@ def test_block_local_perms_match_mesh_semantics():
         np.asarray(super_perm(8, key)))
 
 
+def test_block_local_perm_rejects_single_image_shards():
+    """Blocks of one image have no derangement — super_perm(1) is the
+    identity, so every negative would be the anchor itself and the
+    neg_inter loss silently degrades. Must fail loudly instead (e.g.
+    batch 8 over an 8-device mesh under negatives_scope=local)."""
+    from stego_tpu.ops.math import block_local_super_perm
+
+    with pytest.raises(ValueError, match="2 images per shard"):
+        block_local_super_perm(8, jr.PRNGKey(0), 8)
+
+
 def test_fused_sampling_mesh_matches_per_shard_oracle(cpu_devices):
     """Fused-sampling kernel on an 8-device mesh (shard_map: local negative
     indices, per-shard pointwise fd means — the reference's per-process DDP
@@ -309,7 +320,7 @@ def test_fused_sampling_mesh_matches_per_shard_oracle(cpu_devices):
 
     mesh = _mesh8()
     bs = batch_sharding(mesh)
-    tensors = _data(jr.PRNGKey(21), b=8)
+    tensors = _data(jr.PRNGKey(21), b=16)  # 2 imgs/shard: real derangements
     cfg = _cfg(neg_blocks=8)
     key = jr.PRNGKey(22)
 
@@ -404,8 +415,8 @@ def test_cached_step_fused_local_negatives_on_mesh(cpu_devices):
     def build(fused):
         cfg = Config(dataset_name="directory", dir_dataset_name="synthetic",
                      res=16, dim=6, feature_samples=3, neg_samples=2,
-                     batch_size=8, backbone_dtype="float32", crop_type=None,
-                     negatives_scope="local",
+                     batch_size=16, backbone_dtype="float32", crop_type=None,
+                     negatives_scope="local",  # 2 imgs/shard on 8 devices
                      fused_sampling="on" if fused else "off")
         seg = UnsupervisedSegmenter(n_classes=3, cfg=cfg, vit_cfg=tiny_vit,
                                     mesh=mesh)
@@ -416,14 +427,14 @@ def test_cached_step_fused_local_negatives_on_mesh(cpu_devices):
     hp = 4
     bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
     cache = {
-        "feats": jax.device_put(jr.normal(jr.PRNGKey(1), (16, hp, hp, 32)),
+        "feats": jax.device_put(jr.normal(jr.PRNGKey(1), (32, hp, hp, 32)),
                                 rsh),
         "label": jax.device_put(
-            jr.randint(jr.PRNGKey(2), (16, 16, 16), -1, 3, jnp.int16), rsh),
+            jr.randint(jr.PRNGKey(2), (32, 16, 16), -1, 3, jnp.int16), rsh),
     }
     batch = {
-        "ind": jax.device_put(jnp.arange(8, dtype=jnp.int32), bsh),
-        "ind_pos": jax.device_put(jnp.arange(8, 16, dtype=jnp.int32), bsh),
+        "ind": jax.device_put(jnp.arange(16, dtype=jnp.int32), bsh),
+        "ind_pos": jax.device_put(jnp.arange(16, 32, dtype=jnp.int32), bsh),
     }
 
     states, metrics = [], []
